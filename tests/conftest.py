@@ -1,0 +1,20 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so the
+multi-chip sharding logic is testable without a TPU pod (SURVEY.md §4e)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+SCENES = "/root/reference/scenes"
+
+
+@pytest.fixture(scope="session")
+def scenes_dir():
+    return SCENES
