@@ -82,6 +82,11 @@ class ScenePack:
     vert_nrm: np.ndarray        # [V,3] f32 (zeros where face normals)
     vert_uv: np.ndarray         # [V,2] f32
     tri_vidx: np.ndarray        # [F,3] i32
+    # pre-expanded triangle geometry (p0, p1-p0, p2-p0) — used by the
+    # brute-force small-scene intersector and BVH leaf re-tests
+    tri_p0: np.ndarray          # [F,3] f32
+    tri_e1: np.ndarray          # [F,3] f32
+    tri_e2: np.ndarray          # [F,3] f32
     # unified per-primitive tables (spheres then triangles)
     prim_mat: np.ndarray        # [P] i32
     prim_emission: np.ndarray   # [P,3] f32 (area-light radiance or 0)
@@ -268,6 +273,7 @@ def pack_scene(parsed: ParsedScene) -> ScenePack:
         sph_center=sph_center_np, sph_radius=sph_radius_np,
         vert_pos=vert_pos_np, vert_nrm=vert_nrm_np, vert_uv=vert_uv_np,
         tri_vidx=tri_vidx_np,
+        tri_p0=tri_p0, tri_e1=tri_p1 - tri_p0, tri_e2=tri_p2 - tri_p0,
         prim_mat=prim_mat, prim_emission=prim_emission.astype(np.float32),
         prim_flags=prim_flags,
         light_pos=light_pos, light_intensity=light_intensity,

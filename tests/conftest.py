@@ -12,6 +12,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
+
+def _enable_compile_cache():
+    import jax
+    cache = os.path.expanduser("~/.cache/pathtracer_tpu_jax_tests")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 SCENES = "/root/reference/scenes"
 
 
