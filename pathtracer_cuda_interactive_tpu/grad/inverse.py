@@ -1,0 +1,164 @@
+"""Differentiable rendering / inverse-rendering layer.
+
+A capability the CUDA reference does not have (SURVEY.md §6 north star):
+pixel gradients w.r.t. continuous scene parameters — material albedo and
+exponents, emitter radiance, point-light intensity, background — validated
+against finite differences.
+
+Design (SURVEY.md §7 hard part 5): discrete decisions are detached —
+BVH hit ids (ops/trace.py stop-grads its inputs), BRDF lobe selection and
+Russian-roulette draws are functions of RNG only — while every continuous
+factor (reflectance, Fresnel weight, cos terms, emitted radiance) is
+differentiable through the ``lax.scan`` bounce loop of
+``radiance_fixed`` (reverse-mode needs scan, not while_loop).
+
+Multi-chip: the loss is computed under the same (samples, tiles)
+``shard_map`` as the forward renderer; jax.grad differentiates straight
+through it, turning the forward ``psum`` into gradient broadcasts and the
+replicated-parameter reads into gradient ``psum``s over ICI — the analog of
+data-parallel gradient all-reduce in a training framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.device_scene import DeviceScene
+from ..ops import camera, rng
+from ..ops.integrator import LANES, radiance_fixed
+from ..parallel.sharding import SAMPLE_AXIS, TILE_AXIS, _padded_grid
+
+# Continuous scene parameters exposed to optimization.  Geometry
+# (vertices/edges) is differentiable through shade_setup too, but edge
+# discontinuities need silhouette-aware estimators we don't claim; these
+# "interior" parameters have unbiased gradients under fixed sampling.
+DIFF_PARAMS = ("mat_r", "mat_g", "mat_b", "mat_param",
+               "prim_em_r", "prim_em_g", "prim_em_b",
+               "bg_r", "bg_g", "bg_b", "light_intensity")
+
+
+def split_params(scene: DeviceScene):
+    """-> (params dict, closure scene).  The closure scene keeps ALL fields
+    (merge overwrites the diff ones), so it stays a valid pytree."""
+    return {k: getattr(scene, k) for k in DIFF_PARAMS}, scene
+
+
+def merge_params(scene: DeviceScene, params) -> DeviceScene:
+    return dataclasses.replace(scene, **params)
+
+
+def render_pixels_diff(scene: DeviceScene, cam_data, pix, width: int,
+                       height: int, sample_start, num_samples: int,
+                       seed: int = 1984, num_bounces: int = 6):
+    """Differentiable analog of ops.integrator.render_pixel_sums: same
+    camera/RNG conventions, but the bounce loop is the scan-based
+    ``radiance_fixed`` so reverse-mode works.  Returns [rows,128,3] sums."""
+    i = (pix % width).astype(jnp.float32)
+    j = (pix // width).astype(jnp.float32)
+
+    def one_sample(acc, k):
+        state = rng.seed_rays(pix, sample_start + k, seed)
+        state, u1 = rng.next_uniform(state)
+        state, u2 = rng.next_uniform(state)
+        u = (i + u1) / width
+        v = (j + u2) / height
+        org, dirn = camera.generate_primary_rays(cam_data, u, v)
+        L = radiance_fixed(scene, org, dirn, state, num_bounces)
+        return acc + L.to_array(), None
+
+    init = jnp.zeros(pix.shape + (3,), jnp.float32)
+    acc, _ = lax.scan(one_sample, init,
+                      jnp.arange(num_samples, dtype=jnp.uint32))
+    return acc
+
+
+def image_to_grid(img, n_tiles: int = 1):
+    """[H,W,3] -> ([rows,128,3] grid layout, valid mask [rows,128]) matching
+    _padded_grid's pixel order."""
+    H, W = img.shape[:2]
+    pix, rows = _padded_grid(W, H, n_tiles)
+    flat = jnp.zeros((rows * LANES, 3), img.dtype)
+    flat = flat.at[:H * W].set(img.reshape(H * W, 3))
+    valid = jnp.asarray(pix < H * W)
+    return flat.reshape(rows, LANES, 3), valid
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "num_bounces"))
+def loss_and_grad(params, scene: DeviceScene, cam_data, target_grid,
+                  valid, pix, width: int, height: int, sample_start,
+                  num_samples: int, seed: int = 1984, num_bounces: int = 6):
+    """Single-chip L2 image loss + gradients w.r.t. ``params``."""
+    def loss_fn(params):
+        s = merge_params(scene, params)
+        acc = render_pixels_diff(s, cam_data, pix, width, height,
+                                 sample_start, num_samples, seed,
+                                 num_bounces)
+        img = acc / num_samples
+        m = valid[..., None].astype(jnp.float32)
+        err = (img - target_grid) * m
+        return jnp.sum(err * err) / (width * height * 3)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def make_sharded_loss_and_grad(mesh, width: int, height: int,
+                               num_samples: int, seed: int = 1984,
+                               num_bounces: int = 6):
+    """Build the jitted multi-chip training step: renders under the
+    (samples, tiles) shard_map, computes the global L2 loss, and returns
+    (loss, grads) with gradients reduced across the mesh.  ``pix``,
+    ``target_grid`` and ``valid`` must be sharded P(tiles, ...)."""
+    n_s = mesh.shape[SAMPLE_AXIS]
+    ns_local = -(-num_samples // n_s)
+    ns_total = ns_local * n_s
+    denom = float(width * height * 3)
+
+    def shard_loss(params, scene, cam_data, target_grid, valid, pix,
+                   sample_start):
+        s = merge_params(scene, params)
+        s_idx = lax.axis_index(SAMPLE_AXIS)
+        local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        acc = render_pixels_diff(s, cam_data, pix, width, height,
+                                 local_start, ns_local, seed, num_bounces)
+        img = lax.psum(acc, SAMPLE_AXIS) / ns_total
+        m = valid[..., None].astype(jnp.float32)
+        err = (img - target_grid) * m
+        local = jnp.sum(err * err) / denom
+        # tiles partition pixels; samples are fully reduced already, so
+        # divide the replicated sample-axis sum back out.
+        return lax.psum(local, (TILE_AXIS, SAMPLE_AXIS)) / n_s
+
+    fn = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(), P(), P(TILE_AXIS, None, None),
+                  P(TILE_AXIS, None), P(TILE_AXIS, None), P()),
+        out_specs=P(),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, scene, cam_data, target_grid, valid, pix,
+             sample_start):
+        return jax.value_and_grad(fn)(params, scene, cam_data, target_grid,
+                                      valid, pix, sample_start)
+
+    return step
+
+
+def shard_grid_inputs(mesh, target_img):
+    """Shard the pixel grid + target image + mask over the tile axis."""
+    H, W = target_img.shape[:2]
+    n_tiles = mesh.shape[TILE_AXIS]
+    pix, _ = _padded_grid(W, H, n_tiles)
+    tgt, valid = image_to_grid(jnp.asarray(target_img), n_tiles)
+    row_shard = NamedSharding(mesh, P(TILE_AXIS, None))
+    row_shard3 = NamedSharding(mesh, P(TILE_AXIS, None, None))
+    return (jax.device_put(jnp.asarray(pix), row_shard),
+            jax.device_put(tgt, row_shard3),
+            jax.device_put(valid, row_shard))

@@ -161,17 +161,15 @@ def _pixel_grid(width: int, height: int):
     return pix, valid, rows
 
 
-@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth"))
-def render_samples(scene: DeviceScene, cam_data: jnp.ndarray, width: int,
-                   height: int, sample_start: jnp.ndarray,
-                   num_samples: int = 1, seed: int = 1984,
-                   max_depth: int = MAX_DEPTH) -> jnp.ndarray:
-    """Render ``num_samples`` full-image sample passes and return their SUM
-    [H, W, 3] (the newSamples loop of render_progressive, main.cu:74-80).
-    ``sample_start`` decorrelates RNG streams across frames (replaces the
-    persistent curandState buffer)."""
-    pix, valid, rows = _pixel_grid(width, height)
+def render_pixel_sums(scene: DeviceScene, cam_data: jnp.ndarray,
+                      pix: jnp.ndarray, width: int, height: int,
+                      sample_start, num_samples: int = 1, seed: int = 1984,
+                      max_depth: int = MAX_DEPTH) -> jnp.ndarray:
+    """Core sample loop over an explicit pixel-index batch ``pix``
+    ([rows, 128] uint32 flat indices).  Returns the per-pixel radiance SUM
+    of ``num_samples`` fresh passes, shaped [rows, 128, 3].  This is the
+    unit that multi-chip sharding partitions (parallel/sharding.py): each
+    chip renders its own slab of pixel rows against a replicated scene."""
     i = (pix % width).astype(jnp.float32)
     j = (pix // width).astype(jnp.float32)
 
@@ -185,7 +183,22 @@ def render_samples(scene: DeviceScene, cam_data: jnp.ndarray, width: int,
         L = radiance(scene, org, dirn, state, max_depth)
         return acc + L.to_array()
 
-    acc = lax.fori_loop(0, num_samples, one_sample,
-                        jnp.zeros((rows, LANES, 3), jnp.float32))
+    init = jnp.zeros(pix.shape + (3,), jnp.float32)
+    return lax.fori_loop(0, num_samples, one_sample, init)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth"))
+def render_samples(scene: DeviceScene, cam_data: jnp.ndarray, width: int,
+                   height: int, sample_start: jnp.ndarray,
+                   num_samples: int = 1, seed: int = 1984,
+                   max_depth: int = MAX_DEPTH) -> jnp.ndarray:
+    """Render ``num_samples`` full-image sample passes and return their SUM
+    [H, W, 3] (the newSamples loop of render_progressive, main.cu:74-80).
+    ``sample_start`` decorrelates RNG streams across frames (replaces the
+    persistent curandState buffer)."""
+    pix, valid, rows = _pixel_grid(width, height)
+    acc = render_pixel_sums(scene, cam_data, pix, width, height,
+                            sample_start, num_samples, seed, max_depth)
     acc = acc.reshape(rows * LANES, 3)[:width * height]
     return acc.reshape(height, width, 3)

@@ -3,12 +3,19 @@ multi-chip sharding logic is testable without a TPU pod (SURVEY.md §4e)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
+# The axon sitecustomize imports jax at interpreter startup and pins the
+# platform, so env vars alone are too late here; XLA_FLAGS still applies
+# because the CPU client is created lazily, and jax.config.update overrides
+# the pinned platform.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,60 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4e).  The sharded render must agree with the single-device
+render bit-for-bit in sample content: tile sharding only partitions pixel
+rows, and sample sharding partitions the same sample indices, so the
+radiance sums match to fp-reduction tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_cuda_interactive_tpu.models.device_scene import DeviceScene
+from pathtracer_cuda_interactive_tpu.models.scenepack import load_scene
+from pathtracer_cuda_interactive_tpu.ops.camera import Camera, camera_ray_data
+from pathtracer_cuda_interactive_tpu.ops.integrator import render_samples
+from pathtracer_cuda_interactive_tpu.parallel import sharding as sh
+
+W, H, SPP = 64, 48, 4
+
+
+@pytest.fixture(scope="module")
+def sphere_scene(scenes_dir):
+    pack, parsed = load_scene(f"{scenes_dir}/spheres/scene1.xml")
+    scene = DeviceScene.from_pack(pack)
+    cam = Camera.from_parsed(parsed.camera)
+    cd = jnp.asarray(camera_ray_data(cam, W, H))
+    return scene, cd
+
+
+@pytest.mark.parametrize("sample_parallel", [1, 2, 4, 8])
+def test_sharded_matches_single(sphere_scene, sample_parallel):
+    scene, cd = sphere_scene
+    mesh = sh.make_mesh(sample_parallel=sample_parallel)
+    scene_r = sh.replicate_scene(scene, mesh)
+    img = np.asarray(sh.render_samples_sharded(
+        scene_r, cd, W, H, jnp.uint32(0), SPP, mesh))
+    assert img.shape == (H, W, 3)
+    # per-shard sample counts ceil-round, so compare at the effective count
+    eff = sh.effective_samples(SPP, mesh)
+    ref = np.asarray(render_samples(scene, cd, W, H, jnp.uint32(0), eff))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_effective_samples():
+    mesh = sh.make_mesh(sample_parallel=4)
+    assert sh.effective_samples(4, mesh) == 4
+    assert sh.effective_samples(5, mesh) == 8  # ceil per shard x shards
+    assert sh.effective_samples(1, mesh) == 4
+
+
+def test_mesh_shape_validation():
+    with pytest.raises(ValueError):
+        sh.make_mesh(sample_parallel=3)  # 8 devices % 3 != 0
+
+
+def test_tile_padding_covers_image():
+    pix, rows = sh._padded_grid(33, 7, 8)
+    assert rows % 8 == 0
+    assert pix.size >= 33 * 7
+    assert pix[0, 0] == 0 and pix.flat[33 * 7 - 1] == 33 * 7 - 1
