@@ -62,6 +62,21 @@ class DeviceScene:
     prim_flags: np.ndarray  # [P] i32
     # flattened BVH (fat nodes, ops/trace.py)
     bvh_nodes: np.ndarray   # [N,16] f32
+    # megakernel prim rows (ops/megakernel.py): one 32-lane f32 record per
+    # primitive with geometry, corner shading normals and the material
+    # FOLDED IN, so the Pallas bounce loop does zero gathers.  Layout:
+    #   0      kind (1 tri / 2 sphere)
+    #   1:4    sphere center | tri p0
+    #   4:7    (radius,-,-)  | e1
+    #   7:10   -             | e2
+    #   10:19  -             | corner shading normals n0 n1 n2
+    #   19     material type (f32-coded enum)
+    #   20:23  albedo rgb      23  material param (eta / exponent)
+    #   24:27  emission rgb    27  is_emitter (0/1)
+    #   28     smooth-shading flag (1 = interpolate corner normals,
+    #          0 = geometric normal, computed in-kernel as cross(e1,e2)
+    #          so it is bit-identical to ops/shade.py's f32 math)
+    prim_rows: np.ndarray   # [P_pad, 32] f32
     # background (differentiable)
     bg_r: np.ndarray        # scalar f32 arrays
     bg_g: np.ndarray
@@ -82,6 +97,7 @@ class DeviceScene:
     def from_pack(pack: ScenePack) -> "DeviceScene":
         f32 = np.float32
         c = pack.sph_center.astype(f32)
+        prim_rows = _build_prim_rows(pack)
         p0 = pack.tri_p0.astype(f32)
         e1 = pack.tri_e1.astype(f32)
         e2 = pack.tri_e2.astype(f32)
@@ -113,6 +129,7 @@ class DeviceScene:
             prim_em_b=em[:, 2].copy(),
             prim_flags=pack.prim_flags,
             bvh_nodes=pack.bvh_nodes,
+            prim_rows=prim_rows,
             bg_r=np.float32(pack.background[0]),
             bg_g=np.float32(pack.background[1]),
             bg_b=np.float32(pack.background[2]),
@@ -126,6 +143,43 @@ class DeviceScene:
     def background(self):
         from ..ops.vec import Vec3
         return Vec3(self.bg_r, self.bg_g, self.bg_b)
+
+
+def _build_prim_rows(pack: ScenePack) -> np.ndarray:
+    """Pack the megakernel's fat prim records (layout documented on the
+    ``prim_rows`` field).  Spheres first, triangles after — same unified id
+    order as everywhere else; P padded to a multiple of 8 sublanes."""
+    S, F = pack.num_spheres, pack.num_triangles
+    P = S + F
+    Ppad = max(8, -(-P // 8) * 8)
+    rows = np.zeros((Ppad, 32), np.float32)
+
+    mat = pack.prim_mat
+    rows[:P, 19] = pack.mat_type[mat].astype(np.float32)
+    rows[:P, 20:23] = pack.mat_color[mat]
+    rows[:P, 23] = pack.mat_param[mat]
+    rows[:P, 24:27] = pack.prim_emission
+    rows[:P, 27] = (np.abs(pack.prim_emission).sum(axis=1) > 0)
+
+    if S:
+        rows[:S, 0] = 2.0
+        rows[:S, 1:4] = pack.sph_center
+        rows[:S, 4] = pack.sph_radius
+    if F:
+        rows[S:P, 0] = 1.0
+        rows[S:P, 1:4] = pack.tri_p0
+        rows[S:P, 4:7] = pack.tri_e1
+        rows[S:P, 7:10] = pack.tri_e2
+        # corner shading normals (used only when the smooth flag at 28 is
+        # set; flat triangles take the in-kernel cross(e1,e2) instead,
+        # keeping the f32 math bit-identical to ops/shade.py)
+        use_sn = (pack.prim_flags[S:P] & 1).astype(bool)
+        for corner in range(3):
+            vn = pack.vert_nrm[pack.tri_vidx[:, corner]]
+            rows[S:P, 10 + 3 * corner:13 + 3 * corner] = \
+                np.where(use_sn[:, None], vn, 0.0)
+        rows[S:P, 28] = use_sn
+    return rows
 
 
 _FIELDS = [f.name for f in dataclasses.fields(DeviceScene)]

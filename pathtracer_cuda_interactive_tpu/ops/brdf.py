@@ -65,7 +65,14 @@ def sample_brdf(mat: MatLookup, n: Vec3, wi: Vec3,
     per lane regardless of material, keeping lanes in lockstep."""
     state, u1, u2 = rng.next_uniform2(state)
     state, u3 = rng.next_uniform(state)
+    wo, is_spec, weight = sample_brdf_from_uniforms(mat, n, wi, u1, u2, u3)
+    return SampleRecord(wo, is_spec, weight, state)
 
+
+def sample_brdf_from_uniforms(mat: MatLookup, n: Vec3, wi: Vec3, u1, u2, u3):
+    """Core lobe selection on pre-drawn uniforms; shared by the XLA path
+    above and the Pallas megakernel (which draws via the int32 RNG twins).
+    Returns (wo, is_pure_specular, weight)."""
     fx, fy = g.make_frame(n)
     refl = reflect(wi, n)
 
@@ -89,7 +96,7 @@ def sample_brdf(mat: MatLookup, n: Vec3, wi: Vec3,
     is_spec = (t == MAT_MIRROR) | ((t == MAT_PLASTIC) & plastic_spec)
     ones = Vec3(jnp.ones_like(u1), jnp.ones_like(u1), jnp.ones_like(u1))
     weight = where(t == MAT_MIRROR, f_mirror, ones)
-    return SampleRecord(wo, is_spec, weight, state)
+    return wo, is_spec, weight
 
 
 class EvalRecord(NamedTuple):

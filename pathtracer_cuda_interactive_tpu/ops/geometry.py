@@ -67,7 +67,12 @@ def intersect_sphere(center: Vec3, radius, org: Vec3, dirn: Vec3, tnear, tfar):
     lin_t = -c / jnp.where(lin_ok, b, 1.0)
     t0 = jnp.where(a == 0.0, lin_t, jnp.minimum(r0, r1))
     t1 = jnp.where(a == 0.0, lin_t, jnp.maximum(r0, r1))
-    has_root = jnp.where(a == 0.0, lin_ok, has_root)
+    # select routed through f32: an i1-result select is legalized by Mosaic
+    # (the Pallas TPU compiler) through an unsupported i8->i1 truncation,
+    # and this function is shared with the Pallas megakernel
+    has_root = jnp.where(a == 0.0,
+                         jnp.where(lin_ok, 1.0, 0.0),
+                         jnp.where(has_root, 1.0, 0.0)) > 0.5
 
     t0_ok = (t0 >= tnear) & (t0 < tfar)
     t1_ok = (t1 >= tnear) & (t1 < tfar)

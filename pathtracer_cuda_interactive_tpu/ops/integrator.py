@@ -63,7 +63,7 @@ def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
     L = L + where(take_bg, T * bg, Vec3.zeros(prim.shape))
     active = active & ~miss
 
-    isect = shade.shade_setup(scene, prim, org, dirn)
+    isect = shade.shade_setup(scene, prim, org, dirn, tnear)
     wi = -dirn
     cos_view = dot(wi, isect.shading_normal)
 

@@ -1,0 +1,344 @@
+"""Pallas TPU megakernel: the whole progressive sample pass in one kernel.
+
+This is the speed-of-light path for small scenes (the reference's
+interactive corpus: sphere scenes and the Cornell box).  The XLA-lowered
+wavefront integrator (ops/integrator.py) round-trips the full SoA ray state
+through HBM on every bounce and pays gather costs for material lookups;
+here the entire camera->bounce-loop->accumulate pipeline runs inside a
+single ``pallas_call`` so per-ray state lives in VMEM/registers for the
+whole sample, and materials are FOLDED into per-primitive records
+(models/device_scene.py::_build_prim_rows) so shading does zero gathers:
+the whole prim table lives in SMEM and the per-primitive fori_loop reads
+each record as scalars (sregs broadcast into vector ops for free) and
+selects the winner's attributes with masks.
+
+Semantics are bit-compatible with the XLA path: same RNG streams (int32
+PCG twins, ops/rng.py), same draw order (2 camera jitter + 3 BSDF + 1 RR
+per bounce), same radiance.cuh:21-79 bounce logic.  tests/test_megakernel.py
+asserts image agreement.
+
+Blocks of ``BLOCK_ROWS`` x 128 rays per grid step; each block's bounce
+``while_loop`` exits as soon as *its* lanes are all dead, so coherent tiles
+finish early (the lockstep-divergence mitigation of SURVEY.md §7 hard
+part 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import brdf, rng
+from .integrator import LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR
+from .vec import Vec3, cross, dot, max_elem, normalize, where
+
+BLOCK_ROWS = 64
+INF = float("inf")
+
+# Scenes up to this many primitives render through the megakernel (the
+# per-prim loop is O(P); beyond this the BVH wavefront path wins).
+MEGAKERNEL_MAX_PRIMS = 512
+
+
+def _scalar(rows_ref, k, j):
+    """Scalar read from the SMEM prim table.  Mosaic cannot broadcast a
+    [1,1] VMEM slice into both sublanes and lanes, but an SMEM scalar rides
+    a sreg and broadcasts into vector ops for free."""
+    return rows_ref[k, j]
+
+
+def _svec(rows_ref, k, j) -> Vec3:
+    return Vec3(rows_ref[k, j], rows_ref[k, j + 1], rows_ref[k, j + 2])
+
+
+def _intersect_all(rows_ref, S: int, F: int, org: Vec3, dirn: Vec3, tnear):
+    """Closest hit over all prims with attribute selection-in-loop.
+    Returns (t [inf=miss], shading-normal (unnormalized), mtype, albedo,
+    mparam, emission, is_emitter)."""
+    shape = org.x.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    best = (jnp.full(shape, INF, jnp.float32),            # t
+            zero, zero, zero,                             # ns (raw)
+            zero, zero, zero,                             # hit position
+            zero,                                         # mtype
+            zero, zero, zero,                             # albedo
+            zero,                                         # mparam
+            zero, zero, zero,                             # emission
+            zero)                                         # is_emitter
+
+    def select(best, closer, t, ns: Vec3, pos: Vec3, k):
+        (bt, bnx, bny, bnz, bpx, bpy, bpz, bmt, bar, bag, bab, bmp,
+         ber, beg, beb, bem) = best
+        s = lambda j: _scalar(rows_ref, k, j)
+        sel = lambda a, b: jnp.where(closer, a, b)
+        return (sel(t, bt),
+                sel(ns.x, bnx), sel(ns.y, bny), sel(ns.z, bnz),
+                sel(pos.x, bpx), sel(pos.y, bpy), sel(pos.z, bpz),
+                sel(s(19), bmt),
+                sel(s(20), bar), sel(s(21), bag),
+                sel(s(22), bab), sel(s(23), bmp),
+                sel(s(24), ber), sel(s(25), beg),
+                sel(s(26), beb), sel(s(27), bem))
+
+    def sphere_body(k, best):
+        c = _svec(rows_ref, k, 1)
+        r = _scalar(rows_ref, k, 4)
+        bt = best[0]
+        t, hit = _sphere_test(c, r, org, dirn, tnear, bt)
+        closer = hit & (t < bt)
+        # position + normal exactly as shade_setup/sphere_shading
+        pos = Vec3(org.x + dirn.x * t, org.y + dirn.y * t,
+                   org.z + dirn.z * t)
+        ns = Vec3(pos.x - c.x, pos.y - c.y, pos.z - c.z)
+        return select(best, closer, t, ns, pos, k)
+
+    def tri_body(k, best):
+        p0 = _svec(rows_ref, k, 1)
+        e1 = _svec(rows_ref, k, 4)
+        e2 = _svec(rows_ref, k, 7)
+        bt = best[0]
+        t, u, v, hit = _tri_test(p0, e1, e2, org, dirn, tnear, bt)
+        closer = hit & (t < bt)
+        w = 1.0 - u - v
+        # barycentric position, matching shade_setup (org + t*dir drifts
+        # ~|org|*eps below big surfaces and self-shadows systematically)
+        pos = Vec3(p0.x + e1.x * u + e2.x * v,
+                   p0.y + e1.y * u + e2.y * v,
+                   p0.z + e1.z * u + e2.z * v)
+        n0 = _svec(rows_ref, k, 10)
+        n1 = _svec(rows_ref, k, 13)
+        n2 = _svec(rows_ref, k, 16)
+        ni = Vec3(n0.x * w + n1.x * u + n2.x * v,
+                  n0.y * w + n1.y * u + n2.y * v,
+                  n0.z * w + n1.z * u + n2.z * v)
+        # flat triangles: geometric normal from the same f32 cross as
+        # shade_setup (row-28 flag; corner rows are zero for flat prims)
+        ng = cross(e1, e2)
+        smooth = _scalar(rows_ref, k, 28) > 0.5
+        ns = Vec3(jnp.where(smooth, ni.x, ng.x),
+                  jnp.where(smooth, ni.y, ng.y),
+                  jnp.where(smooth, ni.z, ng.z))
+        return select(best, closer, t, ns, pos, k)
+
+    if S > 0:
+        best = lax.fori_loop(0, S, sphere_body, best)
+    if F > 0:
+        best = lax.fori_loop(S, S + F, tri_body, best)
+
+    (t, nx, ny, nz, px, py, pz, mt, ar, ag, ab, mp, er, eg, eb, em) = best
+    return (t, Vec3(nx, ny, nz), Vec3(px, py, pz), mt, Vec3(ar, ag, ab),
+            mp, Vec3(er, eg, eb), em)
+
+
+def _sphere_test(center, radius, org, dirn, tnear, tfar):
+    """Same math as geometry.intersect_sphere with unit |dirn| assumed
+    NOT (keeps full quadratic for parity)."""
+    from . import geometry as g
+    return g.intersect_sphere(center, radius, org, dirn, tnear, tfar)
+
+
+def _tri_test(p0, e1, e2, org, dirn, tnear, tfar):
+    from . import geometry as g
+    return g.intersect_triangle(p0, e1, e2, org, dirn, tnear, tfar)
+
+
+def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
+                 seed: int, max_depth: int, block_rows: int):
+    R = width * height
+
+    def kernel(cam_ref, bg_ref, meta_ref, rows_ref, outr_ref, outg_ref,
+               outb_ref):
+        blk = pl.program_id(0)
+        rowid = lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
+        laneid = lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
+        pix = (blk * block_rows + rowid) * LANES + laneid
+        shape = pix.shape
+        # f32 mask: bool vectors crossing loop-region boundaries hit
+        # Mosaic's unsupported i8->i1 truncation
+        valid_f = jnp.where(pix < R, jnp.ones(shape, jnp.float32),
+                            jnp.zeros(shape, jnp.float32))
+
+        # pixel coords via float math (pix < 2^24 so f32 holds it exactly;
+        # Mosaic has no vector integer division).  The reciprocal multiply
+        # can be off by one ulp when width isn't a power of two, so correct
+        # the quotient until 0 <= i < width — this makes the split exact.
+        pixf = pix.astype(jnp.float32)
+        j = jnp.floor(pixf * (1.0 / width))
+        i = pixf - j * width
+        j = jnp.where(i >= width, j + 1.0, jnp.where(i < 0.0, j - 1.0, j))
+        i = jnp.where(i >= width, i - width, jnp.where(i < 0.0, i + width, i))
+
+        cam_o = Vec3(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+        cam_tl = Vec3(cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
+        cam_h = Vec3(cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8])
+        cam_v = Vec3(cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11])
+        bg = Vec3(bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
+        sample_start = meta_ref[0, 0]
+
+        ones = jnp.ones(shape, jnp.float32)
+
+        def one_sample(s, acc):
+            accr, accg, accb = acc
+            state = rng.seed_rays_i32(pix, sample_start + s, seed)
+            state, u1 = rng.next_uniform_i32(state)
+            state, u2 = rng.next_uniform_i32(state)
+            u = (i + u1) / width
+            v = (j + u2) / height
+            dirn = normalize(Vec3(cam_tl.x + u * cam_h.x - v * cam_v.x - cam_o.x,
+                                  cam_tl.y + u * cam_h.y - v * cam_v.y - cam_o.y,
+                                  cam_tl.z + u * cam_h.z - v * cam_v.z - cam_o.z))
+            org = Vec3(cam_o.x * ones, cam_o.y * ones, cam_o.z * ones)
+
+            zeros = jnp.zeros(shape, jnp.float32)
+            T = Vec3(ones, ones, ones)
+            L = Vec3.zeros(shape)
+            # Mosaic cannot carry i1 vectors through while_loop (i8->i1
+            # trunci is unsupported), so the active mask rides as f32.
+            active_f = valid_f
+            tnear = jnp.zeros(shape, jnp.float32)
+            depth = jnp.int32(0)
+
+            def cond(st):
+                return (st[0] < max_depth) & jnp.any(st[5] > 0.0)
+
+            def body(st):
+                depth, org, dirn, T, L, active_f, tnear, state = st
+                active = active_f > 0.0
+                (t, ns_raw, pos, mt, alb, mp, em, emit) = _intersect_all(
+                    rows_ref, S, F, org, dirn, tnear)
+
+                # complements are spelled as direct comparisons: vector
+                # logical_not lowers to xori with a dense<true> i1 constant,
+                # which Mosaic legalizes through an unsupported i8->i1 trunc
+                miss = t == INF
+                hit = t < INF
+                take_bg = active & miss
+                L = Vec3(jnp.where(take_bg, L.x + T.x * bg.x, L.x),
+                         jnp.where(take_bg, L.y + T.y * bg.y, L.y),
+                         jnp.where(take_bg, L.z + T.z * bg.z, L.z))
+                active = active & hit
+
+                ns = normalize(ns_raw)
+                wi = -dirn
+                cos_view = dot(wi, ns)
+
+                front_emit = active & (emit > 0.0) & (cos_view > 0.0)
+                L = Vec3(jnp.where(front_emit, L.x + T.x * em.x, L.x),
+                         jnp.where(front_emit, L.y + T.y * em.y, L.y),
+                         jnp.where(front_emit, L.z + T.z * em.z, L.z))
+
+                n = where(cos_view < 0.0, -ns, ns)
+
+                state, su1 = rng.next_uniform_i32(state)
+                state, su2 = rng.next_uniform_i32(state)
+                state, su3 = rng.next_uniform_i32(state)
+                mat = brdf.MatLookup(mtype=mt, color=alb, param=mp)
+                wo, is_spec, weight = brdf.sample_brdf_from_uniforms(
+                    mat, n, wi, su1, su2, su3)
+                ev_value, ev_pdf = brdf.eval_brdf(mat, n, wi, wo)
+
+                ok_spec = max_elem(weight) > 0.0
+                ok_scatter = (max_elem(ev_value) > 0.0) & (ev_pdf > 0.0)
+                pdf_safe = jnp.where(ev_pdf > 0.0, ev_pdf, 1.0)
+                contrib = where(is_spec, weight, ev_value * (1.0 / pdf_safe))
+                # select with an i1-vector RESULT is another op Mosaic
+                # legalizes through the unsupported i8->i1 trunc; route the
+                # bool select through f32 instead
+                ok = jnp.where(is_spec,
+                               jnp.where(ok_spec, 1.0, 0.0),
+                               jnp.where(ok_scatter, 1.0, 0.0)) > 0.5
+
+                upd = active & ok
+                T = where(upd, T * contrib, T)
+                active = active & ok
+
+                org = where(active, pos, org)
+                dirn = where(active, wo, dirn)
+                tnear = jnp.full_like(tnear, SECONDARY_TNEAR)
+
+                state, ru = rng.next_uniform_i32(state)
+                rr_on = depth > RR_START_DEPTH
+                not_rr = depth <= RR_START_DEPTH
+                p = jnp.maximum(0.5, 1.0 - max_elem(T))
+                keep = ru >= p          # == ~kill within rr_on lanes
+                scale = 1.0 / jnp.where(rr_on & keep & (p < 1.0), 1.0 - p,
+                                        1.0)
+                T = where(active & rr_on & keep, T * scale, T)
+                active = active & (keep | not_rr)
+
+                active_f = jnp.where(active, 1.0, 0.0)
+                return depth + 1, org, dirn, T, L, active_f, tnear, state
+
+            st = (depth, org, dirn, T, L, active_f, tnear, state)
+            st = lax.while_loop(cond, body, st)
+            L = st[4]
+            return (accr + L.x, accg + L.y, accb + L.z)
+
+        accr = jnp.zeros(shape, jnp.float32)
+        accg = jnp.zeros(shape, jnp.float32)
+        accb = jnp.zeros(shape, jnp.float32)
+        accr, accg, accb = lax.fori_loop(
+            0, num_samples, one_sample, (accr, accg, accb))
+        outr_ref[:] = accr
+        outg_ref[:] = accg
+        outb_ref[:] = accb
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "S", "F", "interpret"))
+def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
+                   height: int, num_samples: int, seed: int, max_depth: int,
+                   S: int, F: int, interpret: bool = False):
+    R = width * height
+    rows_total = -(-R // LANES)
+    n_blocks = -(-rows_total // BLOCK_ROWS)
+    rows_pad = n_blocks * BLOCK_ROWS
+
+    cam = jnp.zeros((1, 12), jnp.float32).at[0].set(
+        cam_data.reshape(12).astype(jnp.float32))
+    bg_arr = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(bg)
+    meta = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(
+        jnp.asarray(sample_start, jnp.int32))
+
+    kernel = _make_kernel(width, height, S, F, num_samples, seed, max_depth,
+                          BLOCK_ROWS)
+    out_shape = jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM)
+    outspec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[smem((1, 12)), smem((1, 4)), smem((1, 4)),
+                  smem(prim_rows.shape)],
+        out_specs=(outspec, outspec, outspec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(cam, bg_arr, meta, prim_rows)
+    img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)],
+                    axis=-1)[:R]
+    return img.reshape(height, width, 3)
+
+
+def render_samples_pallas(scene, cam_data, width: int, height: int,
+                          sample_start, num_samples: int = 1,
+                          seed: int = 1984, max_depth: int = MAX_DEPTH,
+                          interpret: bool = False):
+    """Drop-in replacement for ops.integrator.render_samples on scenes with
+    <= MEGAKERNEL_MAX_PRIMS primitives.  Returns the [H,W,3] radiance sum
+    of ``num_samples`` passes."""
+    bg = jnp.stack([jnp.asarray(scene.bg_r), jnp.asarray(scene.bg_g),
+                    jnp.asarray(scene.bg_b)])
+    return _render_pallas(scene.prim_rows, cam_data, bg, sample_start,
+                          width, height, num_samples, seed, max_depth,
+                          scene.num_spheres, scene.num_triangles,
+                          interpret=interpret)

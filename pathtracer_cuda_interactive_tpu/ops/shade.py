@@ -44,9 +44,15 @@ def _take3(ax, ay, az, idx) -> Vec3:
     return Vec3(_take(ax, idx), _take(ay, idx), _take(az, idx))
 
 
-def shade_setup(scene: DeviceScene, prim, org: Vec3, dirn: Vec3) -> Intersection:
+def shade_setup(scene: DeviceScene, prim, org: Vec3, dirn: Vec3,
+                tnear=0.0) -> Intersection:
     """prim: [rows,128] unified primitive id (miss lanes are masked by the
-    caller; their outputs here are garbage-but-finite)."""
+    caller; their outputs here are garbage-but-finite).
+
+    ``tnear`` must be the same near-clip the traversal used: the sphere
+    re-intersection here re-solves the quadratic, and a secondary ray that
+    re-hit its own sphere (near root < tnear) must select the far root the
+    traversal actually hit, not the near one."""
     S = scene.num_spheres
     F = scene.num_triangles
     shape = prim.shape
@@ -64,7 +70,7 @@ def shade_setup(scene: DeviceScene, prim, org: Vec3, dirn: Vec3) -> Intersection
         si = jnp.where(is_sph, p_safe, 0)
         center = _take3(scene.sph_x, scene.sph_y, scene.sph_z, si)
         radius = _take(scene.sph_rad, si)
-        t_s, _ = g.intersect_sphere(center, radius, org, dirn, 0.0, g.INF)
+        t_s, _ = g.intersect_sphere(center, radius, org, dirn, tnear, g.INF)
         p_s, n_s, u_s, v_s = g.sphere_shading(center, radius, org, dirn, t_s)
         pos = where(is_sph, p_s, pos)
         ng = where(is_sph, n_s, ng)

@@ -25,18 +25,32 @@ from ..models.device_scene import DeviceScene
 from ..models.scenepack import ScenePack, load_scene
 from ..ops.camera import Camera, camera_ray_data
 from ..ops.integrator import MAX_DEPTH, render_samples
+from ..ops.megakernel import MEGAKERNEL_MAX_PRIMS, render_samples_pallas
 from ..utils import image as img_util
 from ..utils.config import RenderConfig, setup_jax
 
 
+def _use_megakernel(scene: DeviceScene) -> bool:
+    """Static dispatch: small scenes run the single-pallas_call megakernel
+    (ops/megakernel.py) on real TPUs; the XLA wavefront path covers large
+    scenes and the CPU test platform (Mosaic only targets TPU)."""
+    return (scene.num_prims <= MEGAKERNEL_MAX_PRIMS
+            and jax.default_backend() not in ("cpu", "gpu"))
+
+
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth"),
+                                   "max_depth", "megakernel"),
          donate_argnames=("accum",))
 def _accumulate_step(scene: ScenePack, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
-                     max_depth: int):
-    new = render_samples(scene, cam_data, width, height, sample_start,
-                         num_samples, seed, max_depth)
+                     max_depth: int, megakernel: bool):
+    if megakernel:
+        new = render_samples_pallas(scene, cam_data, width, height,
+                                    sample_start, num_samples, seed,
+                                    max_depth)
+    else:
+        new = render_samples(scene, cam_data, width, height, sample_start,
+                             num_samples, seed, max_depth)
     return accum + new
 
 
@@ -101,7 +115,8 @@ class ProgressiveRenderer:
         self.accum = _accumulate_step(
             self.scene, self._cam_data, self.accum,
             jnp.uint32(self.sample_count), self.width, self.height,
-            ns, self.config.seed, self.config.max_depth)
+            ns, self.config.seed, self.config.max_depth,
+            _use_megakernel(self.scene))
         self.accum.block_until_ready()
         self.frame_ms = (time.perf_counter() - t0) * 1e3
         self.sample_count += ns
