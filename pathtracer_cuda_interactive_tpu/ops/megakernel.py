@@ -161,8 +161,7 @@ def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
         shape = pix.shape
         # f32 mask: bool vectors crossing loop-region boundaries hit
         # Mosaic's unsupported i8->i1 truncation
-        valid_f = jnp.where(pix < R, jnp.ones(shape, jnp.float32),
-                            jnp.zeros(shape, jnp.float32))
+        valid = pix < R
 
         # pixel coords via float math (pix < 2^24 so f32 holds it exactly;
         # Mosaic has no vector integer division).  The reciprocal multiply
@@ -182,112 +181,148 @@ def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
         sample_start = meta_ref[0, 0]
 
         ones = jnp.ones(shape, jnp.float32)
+        zeros = jnp.zeros(shape, jnp.float32)
 
-        def one_sample(s, acc):
-            accr, accg, accb = acc
-            state = rng.seed_rays_i32(pix, sample_start + s, seed)
-            state, u1 = rng.next_uniform_i32(state)
-            state, u2 = rng.next_uniform_i32(state)
+        # --- persistent-lane loop with PATH REGENERATION ----------------
+        # One while_loop for the whole pixel tile: the moment a lane's path
+        # terminates (miss / absorbed / RR), its radiance is banked into acc
+        # and the lane immediately starts its NEXT sample — dead lanes never
+        # idle while siblings finish (the classic persistent-threads /
+        # regeneration answer to SURVEY.md §7 hard part 1).  Per (pixel,
+        # sample) RNG streams and draw order are identical to the XLA path.
+        #
+        # Carried masks/counters ride as f32 (bool vectors crossing the
+        # while-region boundary hit Mosaic's unsupported i8->i1 trunc; the
+        # counters stay < 2^24 so f32 is exact).
+        nsf = float(num_samples)
+
+        def cond(st):
+            active_f, s = st[0], st[1]
+            return jnp.any((active_f > 0.0) | (s < nsf))
+
+        def body(st):
+            (active_f, s, depth, ox, oy, oz, dx, dy, dz, Tx, Ty, Tz,
+             Lx, Ly, Lz, ar, ag, ab, state) = st
+            active = active_f > 0.0
+
+            # -- regeneration: dead lanes with samples left start sample s
+            regen = (active_f <= 0.0) & (s < nsf) & valid
+            rstate = rng.seed_rays_i32(
+                pix, sample_start + s.astype(jnp.int32), seed)
+            rstate, u1 = rng.next_uniform_i32(rstate)
+            rstate, u2 = rng.next_uniform_i32(rstate)
             u = (i + u1) / width
             v = (j + u2) / height
-            dirn = normalize(Vec3(cam_tl.x + u * cam_h.x - v * cam_v.x - cam_o.x,
-                                  cam_tl.y + u * cam_h.y - v * cam_v.y - cam_o.y,
-                                  cam_tl.z + u * cam_h.z - v * cam_v.z - cam_o.z))
-            org = Vec3(cam_o.x * ones, cam_o.y * ones, cam_o.z * ones)
+            rdir = normalize(Vec3(
+                cam_tl.x + u * cam_h.x - v * cam_v.x - cam_o.x,
+                cam_tl.y + u * cam_h.y - v * cam_v.y - cam_o.y,
+                cam_tl.z + u * cam_h.z - v * cam_v.z - cam_o.z))
+            org = Vec3(jnp.where(regen, cam_o.x, ox),
+                       jnp.where(regen, cam_o.y, oy),
+                       jnp.where(regen, cam_o.z, oz))
+            dirn = Vec3(jnp.where(regen, rdir.x, dx),
+                        jnp.where(regen, rdir.y, dy),
+                        jnp.where(regen, rdir.z, dz))
+            T = Vec3(jnp.where(regen, 1.0, Tx), jnp.where(regen, 1.0, Ty),
+                     jnp.where(regen, 1.0, Tz))
+            L = Vec3(jnp.where(regen, 0.0, Lx), jnp.where(regen, 0.0, Ly),
+                     jnp.where(regen, 0.0, Lz))
+            state = jnp.where(regen, rstate, state)
+            depth = jnp.where(regen, 0.0, depth)
+            s = jnp.where(regen, s + 1.0, s)
+            active = active | regen
+            tnear = jnp.where(depth > 0.0, SECONDARY_TNEAR, 0.0)
 
-            zeros = jnp.zeros(shape, jnp.float32)
-            T = Vec3(ones, ones, ones)
-            L = Vec3.zeros(shape)
-            # Mosaic cannot carry i1 vectors through while_loop (i8->i1
-            # trunci is unsupported), so the active mask rides as f32.
-            active_f = valid_f
-            tnear = jnp.zeros(shape, jnp.float32)
-            depth = jnp.int32(0)
+            # -- one bounce for every live lane
+            (t, ns_raw, pos, mt, alb, mp, em, emit) = _intersect_all(
+                rows_ref, S, F, org, dirn, tnear)
 
-            def cond(st):
-                return (st[0] < max_depth) & jnp.any(st[5] > 0.0)
+            # complements are spelled as direct comparisons: vector
+            # logical_not lowers to xori with a dense<true> i1 constant,
+            # which Mosaic legalizes through an unsupported i8->i1 trunc
+            miss = t == INF
+            hit = t < INF
+            take_bg = active & miss
+            L = Vec3(jnp.where(take_bg, L.x + T.x * bg.x, L.x),
+                     jnp.where(take_bg, L.y + T.y * bg.y, L.y),
+                     jnp.where(take_bg, L.z + T.z * bg.z, L.z))
+            active = active & hit
 
-            def body(st):
-                depth, org, dirn, T, L, active_f, tnear, state = st
-                active = active_f > 0.0
-                (t, ns_raw, pos, mt, alb, mp, em, emit) = _intersect_all(
-                    rows_ref, S, F, org, dirn, tnear)
+            ns = normalize(ns_raw)
+            wi = -dirn
+            cos_view = dot(wi, ns)
 
-                # complements are spelled as direct comparisons: vector
-                # logical_not lowers to xori with a dense<true> i1 constant,
-                # which Mosaic legalizes through an unsupported i8->i1 trunc
-                miss = t == INF
-                hit = t < INF
-                take_bg = active & miss
-                L = Vec3(jnp.where(take_bg, L.x + T.x * bg.x, L.x),
-                         jnp.where(take_bg, L.y + T.y * bg.y, L.y),
-                         jnp.where(take_bg, L.z + T.z * bg.z, L.z))
-                active = active & hit
+            front_emit = active & (emit > 0.0) & (cos_view > 0.0)
+            L = Vec3(jnp.where(front_emit, L.x + T.x * em.x, L.x),
+                     jnp.where(front_emit, L.y + T.y * em.y, L.y),
+                     jnp.where(front_emit, L.z + T.z * em.z, L.z))
 
-                ns = normalize(ns_raw)
-                wi = -dirn
-                cos_view = dot(wi, ns)
+            n = where(cos_view < 0.0, -ns, ns)
 
-                front_emit = active & (emit > 0.0) & (cos_view > 0.0)
-                L = Vec3(jnp.where(front_emit, L.x + T.x * em.x, L.x),
-                         jnp.where(front_emit, L.y + T.y * em.y, L.y),
-                         jnp.where(front_emit, L.z + T.z * em.z, L.z))
+            state, su1 = rng.next_uniform_i32(state)
+            state, su2 = rng.next_uniform_i32(state)
+            state, su3 = rng.next_uniform_i32(state)
+            mat = brdf.MatLookup(mtype=mt, color=alb, param=mp)
+            wo, is_spec, weight = brdf.sample_brdf_from_uniforms(
+                mat, n, wi, su1, su2, su3)
+            ev_value, ev_pdf = brdf.eval_brdf(mat, n, wi, wo)
 
-                n = where(cos_view < 0.0, -ns, ns)
+            ok_spec = max_elem(weight) > 0.0
+            ok_scatter = (max_elem(ev_value) > 0.0) & (ev_pdf > 0.0)
+            pdf_safe = jnp.where(ev_pdf > 0.0, ev_pdf, 1.0)
+            contrib = where(is_spec, weight, ev_value * (1.0 / pdf_safe))
+            # select with an i1-vector RESULT is another op Mosaic
+            # legalizes through the unsupported i8->i1 trunc; route the
+            # bool select through f32 instead
+            ok = jnp.where(is_spec,
+                           jnp.where(ok_spec, 1.0, 0.0),
+                           jnp.where(ok_scatter, 1.0, 0.0)) > 0.5
 
-                state, su1 = rng.next_uniform_i32(state)
-                state, su2 = rng.next_uniform_i32(state)
-                state, su3 = rng.next_uniform_i32(state)
-                mat = brdf.MatLookup(mtype=mt, color=alb, param=mp)
-                wo, is_spec, weight = brdf.sample_brdf_from_uniforms(
-                    mat, n, wi, su1, su2, su3)
-                ev_value, ev_pdf = brdf.eval_brdf(mat, n, wi, wo)
+            upd = active & ok
+            T = where(upd, T * contrib, T)
+            active = active & ok
 
-                ok_spec = max_elem(weight) > 0.0
-                ok_scatter = (max_elem(ev_value) > 0.0) & (ev_pdf > 0.0)
-                pdf_safe = jnp.where(ev_pdf > 0.0, ev_pdf, 1.0)
-                contrib = where(is_spec, weight, ev_value * (1.0 / pdf_safe))
-                # select with an i1-vector RESULT is another op Mosaic
-                # legalizes through the unsupported i8->i1 trunc; route the
-                # bool select through f32 instead
-                ok = jnp.where(is_spec,
-                               jnp.where(ok_spec, 1.0, 0.0),
-                               jnp.where(ok_scatter, 1.0, 0.0)) > 0.5
+            org = where(active, pos, org)
+            dirn = where(active, wo, dirn)
 
-                upd = active & ok
-                T = where(upd, T * contrib, T)
-                active = active & ok
+            state, ru = rng.next_uniform_i32(state)
+            rr_on = depth > float(RR_START_DEPTH)
+            not_rr = depth <= float(RR_START_DEPTH)
+            p = jnp.maximum(0.5, 1.0 - max_elem(T))
+            keep = ru >= p          # == ~kill within rr_on lanes
+            scale = 1.0 / jnp.where(rr_on & keep & (p < 1.0), 1.0 - p, 1.0)
+            T = where(active & rr_on & keep, T * scale, T)
+            active = active & (keep | not_rr)
 
-                org = where(active, pos, org)
-                dirn = where(active, wo, dirn)
-                tnear = jnp.full_like(tnear, SECONDARY_TNEAR)
+            # per-lane depth cap (radiance.cuh:24 loop bound)
+            depth = depth + 1.0
+            active = active & (depth < float(max_depth))
 
-                state, ru = rng.next_uniform_i32(state)
-                rr_on = depth > RR_START_DEPTH
-                not_rr = depth <= RR_START_DEPTH
-                p = jnp.maximum(0.5, 1.0 - max_elem(T))
-                keep = ru >= p          # == ~kill within rr_on lanes
-                scale = 1.0 / jnp.where(rr_on & keep & (p < 1.0), 1.0 - p,
-                                        1.0)
-                T = where(active & rr_on & keep, T * scale, T)
-                active = active & (keep | not_rr)
+            # -- bank finished samples; L resets at the lane's next regen
+            # (no vector logical_not: complement via the f32 mask compare)
+            active_new_f = jnp.where(active, 1.0, 0.0)
+            done = (active_new_f <= 0.0) & ((active_f > 0.0) | regen)
+            ar = jnp.where(done, ar + L.x, ar)
+            ag = jnp.where(done, ag + L.y, ag)
+            ab = jnp.where(done, ab + L.z, ab)
 
-                active_f = jnp.where(active, 1.0, 0.0)
-                return depth + 1, org, dirn, T, L, active_f, tnear, state
+            active_f = active_new_f
+            return (active_f, s, depth, org.x, org.y, org.z,
+                    dirn.x, dirn.y, dirn.z, T.x, T.y, T.z, L.x, L.y, L.z,
+                    ar, ag, ab, state)
 
-            st = (depth, org, dirn, T, L, active_f, tnear, state)
-            st = lax.while_loop(cond, body, st)
-            L = st[4]
-            return (accr + L.x, accg + L.y, accb + L.z)
-
-        accr = jnp.zeros(shape, jnp.float32)
-        accg = jnp.zeros(shape, jnp.float32)
-        accb = jnp.zeros(shape, jnp.float32)
-        accr, accg, accb = lax.fori_loop(
-            0, num_samples, one_sample, (accr, accg, accb))
-        outr_ref[:] = accr
-        outg_ref[:] = accg
-        outb_ref[:] = accb
+        # padding lanes (pix >= R) never regenerate, so they start with all
+        # samples "already taken" or the loop condition would never clear
+        s0 = jnp.where(valid, 0.0, nsf)
+        st = (zeros, s0, zeros,                          # active, s, depth
+              zeros, zeros, zeros, zeros, zeros, ones,   # org, dirn
+              ones, ones, ones, zeros, zeros, zeros,     # T, L
+              zeros, zeros, zeros,                       # acc
+              jnp.zeros(shape, jnp.int32))               # rng
+        st = lax.while_loop(cond, body, st)
+        outr_ref[:] = st[15]
+        outg_ref[:] = st[16]
+        outb_ref[:] = st[17]
 
     return kernel
 

@@ -109,15 +109,27 @@ class ProgressiveRenderer:
         self.sample_count = 0
 
     # -- the frame step (main.cu:333-337) --------------------------------
-    def step(self, num_samples: Optional[int] = None) -> None:
+    def step(self, num_samples: Optional[int] = None,
+             sync: Optional[bool] = None) -> None:
+        """Add ``num_samples`` fresh samples to the accumulation buffer.
+
+        ``sync=True`` blocks until the device finishes (the reference's
+        per-frame cudaDeviceSynchronize, main.cu:336, and what makes
+        ``frame_ms`` meaningful).  ``sync=False`` lets successive steps
+        pipeline on the device — right for batch/throughput use, where a
+        host round-trip per frame would serialize on link latency rather
+        than chip time.  Default comes from ``config.sync_each_frame``."""
         ns = num_samples or self.samples_per_frame
+        if sync is None:
+            sync = self.config.sync_each_frame
         t0 = time.perf_counter()
         self.accum = _accumulate_step(
             self.scene, self._cam_data, self.accum,
             jnp.uint32(self.sample_count), self.width, self.height,
             ns, self.config.seed, self.config.max_depth,
             _use_megakernel(self.scene))
-        self.accum.block_until_ready()
+        if sync:
+            self.accum.block_until_ready()
         self.frame_ms = (time.perf_counter() - t0) * 1e3
         self.sample_count += ns
 

@@ -26,6 +26,10 @@ class RenderConfig:
     spf_max: int = 10
     move_speed: float = 0.5        # imgui_manager.cpp WASD speed (:143)
     mouse_sensitivity: float = 0.1  # imgui_manager.cpp orbit (:254)
+    # block on the device each frame (cudaDeviceSynchronize analog,
+    # main.cu:336).  False lets frames pipeline — for throughput paths
+    # where a host round-trip per frame measures link latency, not chip.
+    sync_each_frame: bool = True
 
 
 _CONFIGURED = False
