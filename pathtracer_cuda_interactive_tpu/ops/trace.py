@@ -83,13 +83,49 @@ def _traverse(bvh_nodes, org: Vec3, dirn: Vec3, tnear, t_limit):
     return hit, t_max
 
 
+# Rows per traversal chunk.  The while_loop advances every ray in a chunk
+# until the chunk's WORST ray finishes, so chunk size bounds how much
+# lockstep divergence one straggler can cost: with the full image in one
+# chunk a single deep ray (max ~800 node visits on bunny vs median 44)
+# stalls 300k rays; 32-row chunks (4096 rays, a coherent screen band) pay
+# each band's own max only.
+TRACE_CHUNK_ROWS = 32
+
+
+def _traverse_chunked(bvh_nodes, org: Vec3, dirn: Vec3, tnear, t_limit):
+    rows = org.x.shape[0]
+    if rows <= TRACE_CHUNK_ROWS or rows % TRACE_CHUNK_ROWS != 0:
+        return _traverse(bvh_nodes, org, dirn, tnear, t_limit)
+
+    G = rows // TRACE_CHUNK_ROWS
+
+    def split(a):
+        return a.reshape((G, TRACE_CHUNK_ROWS) + a.shape[1:])
+
+    tnear = jnp.broadcast_to(tnear, org.x.shape).astype(jnp.float32)
+    xs = [split(a) for a in (*org, *dirn, tnear)]
+    if t_limit is not None:
+        xs.append(split(jnp.broadcast_to(t_limit, org.x.shape)
+                        .astype(jnp.float32)))
+
+    def body(_, chunk):
+        o = Vec3(chunk[0], chunk[1], chunk[2])
+        d = Vec3(chunk[3], chunk[4], chunk[5])
+        tl = chunk[7] if t_limit is not None else None
+        hit, t = _traverse(bvh_nodes, o, d, chunk[6], tl)
+        return None, (hit, t)
+
+    _, (hit, t) = lax.scan(body, None, xs)
+    return (hit.reshape(org.x.shape), t.reshape(org.x.shape))
+
+
 def trace_rays(bvh_nodes, org: Vec3, dirn: Vec3, tnear):
     """Closest-hit query.  Returns (prim_id [rows,128] i32, t); prim_id is
     -1 on miss.  Non-differentiable: all inputs gradient-stopped, so the
     while_loop is constant under autodiff."""
     sg = lax.stop_gradient
-    return _traverse(sg(bvh_nodes), Vec3(*sg(tuple(org))),
-                     Vec3(*sg(tuple(dirn))), sg(tnear), None)
+    return _traverse_chunked(sg(bvh_nodes), Vec3(*sg(tuple(org))),
+                             Vec3(*sg(tuple(dirn))), sg(tnear), None)
 
 
 def trace_occluded(bvh_nodes, org: Vec3, dirn: Vec3, tnear, t_limit):

@@ -23,12 +23,13 @@ def tonemap(accum: np.ndarray, sample_count: int) -> np.ndarray:
     return np.clip(out * 255.99, 0, 255).astype(np.uint8)
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Minimal RGB8 PNG encoder."""
+def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
+    """Minimal RGB8 PNG encoder (in-memory; used by the web viewer's frame
+    stream and the file writer below)."""
     rgb = np.ascontiguousarray(rgb, np.uint8)
-    h, w = rgb.shape[:2]
     if rgb.ndim == 2:
         rgb = np.repeat(rgb[..., None], 3, axis=-1)
+    h, w = rgb.shape[:2]
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
@@ -36,10 +37,14 @@ def write_png(path: str, rgb: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, level)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal RGB8 PNG writer."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb))
 
 
 def read_png(path: str) -> np.ndarray:
