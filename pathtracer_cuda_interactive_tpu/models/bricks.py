@@ -1,0 +1,172 @@
+"""Brick decomposition of large scenes for the Pallas brick tracer.
+
+TPU vector lanes cannot do per-lane divergent gathers (the op class every
+GPU BVH traversal is built on — scene.h:246-301 in the reference), so the
+large-scene kernel (ops/brickkernel.py) restructures traversal around what
+the hardware *does* have:
+
+  * a scalar unit that can walk a small tree with SMEM reads, and
+  * DMA engines that can stream contiguous blocks HBM -> SMEM.
+
+Triangles are sorted by Morton code of their centroid (the same spatial
+order the BVH uses, models/bvh.py) and cut into consecutive **bricks** of
+``BRICK_PRIMS`` prims.  Each brick is one dense [64,128] f32 block — 256
+megakernel-layout prim records (models/device_scene.py::_build_prim_rows)
+— that a single DMA brings into SMEM.  A small skip-link BVH (reusing
+build_bvh) is built **over brick AABBs**; it stays resident in SMEM so the
+per-packet cursor walk costs scalar reads only.
+
+Spheres are not bricked: the scenes in scope have at most dozens
+(scenes/aabb_test: 30), so they stay in a small resident table the kernel
+brute-forces exactly like ops/megakernel.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bvh import build_bvh, morton_codes
+from .device_scene import _build_prim_rows
+from .scenepack import ScenePack
+
+BRICK_PRIMS = 512           # prims per brick (512 * 32 f32 = 128 data rows)
+SUB_PRIMS = 32              # prims per sub-chunk, culled by sub-AABB
+NUM_SUBS = BRICK_PRIMS // SUB_PRIMS          # 16 sub-AABBs per brick
+BRICK_DATA_ROWS = BRICK_PRIMS * 32 // 128    # 128 rows of prim records
+# one extra row carries the sub-AABB table: sub s field f (0..5 = min xyz,
+# max xyz) at [BRICK_DATA_ROWS, s * 8 + f]; padded to 8-row alignment
+BRICK_ROWS = BRICK_DATA_ROWS + 8             # [136, 128] per-brick block
+
+
+@dataclass
+class BrickSet:
+    """Device-ready brick decomposition (all arrays host numpy; jax pytree
+    registration mirrors DeviceScene)."""
+    # [B, 64, 128] f32 — brick b, prim k (0..255), float j (0..31) lives at
+    # [b, k // 4, (k % 4) * 32 + j]
+    brick_data: np.ndarray
+    # resident top-level tree over brick AABBs (skip-link preorder).
+    # SMEM rows are padded to 128 lanes (512 B) regardless of declared
+    # width, so both tables pack 128-wide: node n's box field f lives at
+    # top_boxes[n // 16, (n % 16) * 8 + f] (f = 0..5: min xyz, max xyz) and
+    # its links at top_links[n // 64, (n % 64) * 2 + {0: skip, 1: brick}]
+    # (brick id is -1 for internal nodes).
+    top_boxes: np.ndarray   # [ceil(Ntop/16), 128] f32
+    top_links: np.ndarray   # [ceil(Ntop/64), 128] i32
+    # resident sphere table, megakernel row layout
+    sph_rows: np.ndarray    # [S_pad, 32] f32
+    # background
+    bg_r: np.ndarray
+    bg_g: np.ndarray
+    bg_b: np.ndarray
+    num_spheres: int
+    num_bricks: int
+    num_top: int
+
+    @staticmethod
+    def from_pack(pack: ScenePack) -> "BrickSet":
+        return build_bricks(pack)
+
+
+def build_bricks(pack: ScenePack) -> BrickSet:
+    S, F = pack.num_spheres, pack.num_triangles
+    if F == 0:
+        raise ValueError("brick set needs triangles; sphere-only scenes "
+                         "take the megakernel path")
+    rows = _build_prim_rows(pack)            # [P_pad, 32], spheres first
+
+    sph_pad = max(8, -(-max(S, 1) // 8) * 8)
+    sph_rows = np.zeros((sph_pad, 32), np.float32)
+    sph_rows[:S] = rows[:S]
+
+    tri_rows = rows[S:S + F]                 # [F, 32]
+    p0 = pack.tri_p0.astype(np.float32)
+    p1 = p0 + pack.tri_e1.astype(np.float32)
+    p2 = p0 + pack.tri_e2.astype(np.float32)
+    tmin = np.minimum(np.minimum(p0, p1), p2)
+    tmax = np.maximum(np.maximum(p0, p1), p2)
+
+    order = np.argsort(
+        morton_codes(0.5 * (tmin.astype(np.float64) + tmax)), kind="stable")
+    tri_rows = tri_rows[order]
+    tmin, tmax = tmin[order], tmax[order]
+
+    B = -(-F // BRICK_PRIMS)
+    data = np.zeros((B, BRICK_ROWS, 128), np.float32)
+    prim_block = np.zeros((B * BRICK_PRIMS, 32), np.float32)
+    prim_block[:F] = tri_rows
+    data[:, :BRICK_DATA_ROWS, :] = prim_block.reshape(
+        B, BRICK_DATA_ROWS, 128)
+    # brick AABBs over real members only
+    bmin = np.full((B, 3), np.inf, np.float32)
+    bmax = np.full((B, 3), -np.inf, np.float32)
+    bid = np.arange(F) // BRICK_PRIMS
+    np.minimum.at(bmin, bid, tmin)
+    np.maximum.at(bmax, bid, tmax)
+    # sub-AABB table: NUM_SUBS chunks of SUB_PRIMS consecutive prims.
+    # Field 6 marks real (non-empty) chunks — an inverted/sentinel box is
+    # NOT a reliable slab-test miss once min/max swaps normalize it.
+    smin = np.zeros((B * NUM_SUBS, 3), np.float32)
+    smax = np.zeros((B * NUM_SUBS, 3), np.float32)
+    smin[:(-(-F // SUB_PRIMS))] = np.inf
+    smax[:(-(-F // SUB_PRIMS))] = -np.inf
+    sid = np.arange(F) // SUB_PRIMS
+    np.minimum.at(smin, sid, tmin)
+    np.maximum.at(smax, sid, tmax)
+    counts = np.zeros(B * NUM_SUBS, np.int64)
+    np.add.at(counts, sid, 1)
+    sub_tbl = np.zeros((B, NUM_SUBS, 8), np.float32)
+    sub_tbl[..., 0:3] = smin.reshape(B, NUM_SUBS, 3)
+    sub_tbl[..., 3:6] = smax.reshape(B, NUM_SUBS, 3)
+    sub_tbl[..., 6] = (counts > 0).reshape(B, NUM_SUBS)
+    data[:, BRICK_DATA_ROWS, :] = sub_tbl.reshape(B, 128)
+
+    top = build_bvh(bmin, bmax)
+    Ntop = top.num_nodes
+    boxes = np.zeros((-(-Ntop // 16) * 16, 8), np.float32)
+    boxes[:Ntop, 0:3] = top.node_min
+    boxes[:Ntop, 3:6] = top.node_max
+    top_boxes = boxes.reshape(-1, 128)
+    links = np.zeros((-(-Ntop // 64) * 64, 2), np.int32)
+    links[:Ntop, 0] = top.skip
+    links[:Ntop, 1] = top.prim
+    top_links = links.reshape(-1, 128)
+
+    return BrickSet(
+        brick_data=data,
+        top_boxes=top_boxes, top_links=top_links, sph_rows=sph_rows,
+        bg_r=np.float32(pack.background[0]),
+        bg_g=np.float32(pack.background[1]),
+        bg_b=np.float32(pack.background[2]),
+        num_spheres=S, num_bricks=B, num_top=Ntop)
+
+
+def brick_prim_count(brickset: BrickSet, b: int) -> int:
+    """Real (non-padding) prims in brick b — padding rows have kind 0."""
+    rows = brickset.brick_data[b, :BRICK_DATA_ROWS].reshape(BRICK_PRIMS, 32)
+    return int((rows[:, 0] != 0).sum())
+
+
+# --- jax pytree registration (same pattern as DeviceScene) ----------------
+_FIELDS = [f.name for f in dataclasses.fields(BrickSet)]
+_STATIC = ("num_spheres", "num_bricks", "num_top")
+_LEAVES = tuple(n for n in _FIELDS if n not in _STATIC)
+
+
+def _flatten(bs: BrickSet):
+    return [getattr(bs, n) for n in _LEAVES], tuple(
+        getattr(bs, n) for n in _STATIC)
+
+
+def _unflatten(static, leaves) -> BrickSet:
+    kw = dict(zip(_LEAVES, leaves))
+    kw.update(dict(zip(_STATIC, static)))
+    return BrickSet(**kw)
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(BrickSet, _flatten, _unflatten)

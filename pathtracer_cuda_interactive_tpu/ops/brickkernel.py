@@ -1,0 +1,286 @@
+"""Pallas brick tracer: large triangle scenes without per-lane gathers.
+
+The GPU traversal the reference uses (scene.h:246-301: per-thread stack,
+divergent node fetches) is built on an op TPU vector lanes do not have —
+per-lane random access.  This kernel restructures the same closest-hit
+query around the units the TPU does have:
+
+  * the SCALAR core walks a small skip-link BVH over brick AABBs
+    (models/bricks.py) that lives entirely in SMEM — one cursor per ray
+    *packet* (the whole [block_rows, 128] tile), advanced by
+    descend/skip decisions reduced from the packet's vectorized slab test;
+  * a DMA engine streams each visited leaf's brick — 256 Morton-ordered
+    triangles as one dense [64,128] f32 block — HBM -> SMEM;
+  * the VPU brute-forces the packet against the brick with the same
+    zero-gather scalar-record loop the small-scene megakernel uses.
+
+The packet pays the UNION of its rays' traversal (lockstep cost — SURVEY.md
+§7 hard part 1); Morton-ordered bricks + screen-tiled packets keep that
+union small for primary rays, and the persistent-lane shell
+(ops/megakernel.py::make_persistent_kernel) keeps dead lanes working.
+
+Spheres are not bricked; the handful in scope stays resident in SMEM and
+is brute-forced first (same math as the megakernel, so parity holds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.bricks import (BRICK_DATA_ROWS, BRICK_PRIMS, BRICK_ROWS,
+                             NUM_SUBS, SUB_PRIMS, BrickSet)
+from . import rng
+from .integrator import LANES, MAX_DEPTH
+from .megakernel import (_scalar, _svec, make_persistent_kernel,
+                         _sphere_test, _tri_test, tile_grid,
+                         tile_permutation)
+from .vec import Vec3, cross
+
+# Packet height: rows per grid block.  Smaller packets pay a smaller
+# traversal union per ray but amortize scalar/DMA overhead over fewer
+# lanes; 16 rows = 2048 rays is the sweet spot measured on v5e.
+BLOCK_ROWS = 16
+# Compact screen tile per packet (64x32 px).  A row-major band of the same
+# 2048 lanes is 640x3.2 px — its frustum sweeps most of the scene and the
+# packet pays that union; the compact tile cuts visited bricks several-fold.
+TILE = (64, 32)
+INF = float("inf")
+
+
+def _brick_scalar(scratch, k, j):
+    """Prim k (0..255), float j (0..31) from the [64,128] brick block."""
+    return scratch[k // 4, (k % 4) * 32 + j]
+
+
+def _brick_svec(scratch, k, j) -> Vec3:
+    return Vec3(_brick_scalar(scratch, k, j), _brick_scalar(scratch, k, j + 1),
+                _brick_scalar(scratch, k, j + 2))
+
+
+def _select16(best, closer, t, ns, pos, attrs):
+    (bt, bnx, bny, bnz, bpx, bpy, bpz, bmt, bar, bag, bab, bmp,
+     ber, beg, beb, bem) = best
+    sel = lambda a, b: jnp.where(closer, a, b)
+    mt, ar, ag, ab, mp, er, eg, eb, em = attrs
+    return (sel(t, bt),
+            sel(ns.x, bnx), sel(ns.y, bny), sel(ns.z, bnz),
+            sel(pos.x, bpx), sel(pos.y, bpy), sel(pos.z, bpz),
+            sel(mt, bmt), sel(ar, bar), sel(ag, bag), sel(ab, bab),
+            sel(mp, bmp), sel(er, ber), sel(eg, beg), sel(eb, beb),
+            sel(em, bem))
+
+
+def _tri_record_body(read_vec, read_sc, k, best, org, dirn, tnear):
+    """One triangle record test + winner-attribute select; shared layout
+    with the megakernel rows (device_scene.py prim_rows docstring)."""
+    p0 = read_vec(k, 1)
+    e1 = read_vec(k, 4)
+    e2 = read_vec(k, 7)
+    bt = best[0]
+    t, u, v, hit = _tri_test(p0, e1, e2, org, dirn, tnear, bt)
+    closer = hit & (t < bt)
+    w = 1.0 - u - v
+    pos = Vec3(p0.x + e1.x * u + e2.x * v,
+               p0.y + e1.y * u + e2.y * v,
+               p0.z + e1.z * u + e2.z * v)
+    n0 = read_vec(k, 10)
+    n1 = read_vec(k, 13)
+    n2 = read_vec(k, 16)
+    ni = Vec3(n0.x * w + n1.x * u + n2.x * v,
+              n0.y * w + n1.y * u + n2.y * v,
+              n0.z * w + n1.z * u + n2.z * v)
+    ng = cross(e1, e2)
+    smooth = read_sc(k, 28) > 0.5
+    ns = Vec3(jnp.where(smooth, ni.x, ng.x),
+              jnp.where(smooth, ni.y, ng.y),
+              jnp.where(smooth, ni.z, ng.z))
+    attrs = tuple(read_sc(k, j) for j in (19, 20, 21, 22, 23, 24, 25, 26, 27))
+    return _select16(best, closer, t, ns, pos, attrs)
+
+
+def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
+                       num_samples: int, seed: int, max_depth: int,
+                       block_rows: int):
+    def kernel(cam_ref, bg_ref, meta_ref, sph_ref, boxes_ref, links_ref,
+               bricks_ref, outr_ref, outg_ref, outb_ref, scratch, sem):
+        def intersect(org, dirn, tnear, shape, active):
+            zero = jnp.zeros(shape, jnp.float32)
+            best = (jnp.full(shape, INF, jnp.float32),) + (zero,) * 15
+
+            # -- resident spheres (megakernel sphere_body semantics)
+            def sphere_body(k, best):
+                c = _svec(sph_ref, k, 1)
+                r = _scalar(sph_ref, k, 4)
+                bt = best[0]
+                t, hit = _sphere_test(c, r, org, dirn, tnear, bt)
+                closer = hit & (t < bt)
+                pos = Vec3(org.x + dirn.x * t, org.y + dirn.y * t,
+                           org.z + dirn.z * t)
+                ns = Vec3(pos.x - c.x, pos.y - c.y, pos.z - c.z)
+                attrs = tuple(_scalar(sph_ref, k, j)
+                              for j in (19, 20, 21, 22, 23, 24, 25, 26, 27))
+                return _select16(best, closer, t, ns, pos, attrs)
+
+            if S > 0:
+                best = lax.fori_loop(0, S, sphere_body, best)
+
+            # -- packet walk of the SMEM brick tree
+            # per-axis safe reciprocal (slab test semantics match
+            # geometry.slab_test: +/-inf propagates correctly)
+            inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
+
+            def _slab_any(bmin, bmax, t_best):
+                """Packet slab test vs a scalar AABB -> (vector mask
+                reduced with the live-lane mask, scalar any-hit)."""
+                tx0 = (bmin.x - org.x) * inv.x
+                tx1 = (bmax.x - org.x) * inv.x
+                ty0 = (bmin.y - org.y) * inv.y
+                ty1 = (bmax.y - org.y) * inv.y
+                tz0 = (bmin.z - org.z) * inv.z
+                tz1 = (bmax.z - org.z) * inv.z
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                hitm = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+                        & active)
+                return jnp.any(hitm)
+
+            def process_brick(best):
+                def tri_body(k, best):
+                    return _tri_record_body(
+                        lambda kk, j: _brick_svec(scratch, kk, j),
+                        lambda kk, j: _brick_scalar(scratch, kk, j),
+                        k, best, org, dirn, tnear)
+
+                def sub_body(s, best):
+                    c = s * 8
+                    smn = Vec3(scratch[BRICK_DATA_ROWS, c],
+                               scratch[BRICK_DATA_ROWS, c + 1],
+                               scratch[BRICK_DATA_ROWS, c + 2])
+                    smx = Vec3(scratch[BRICK_DATA_ROWS, c + 3],
+                               scratch[BRICK_DATA_ROWS, c + 4],
+                               scratch[BRICK_DATA_ROWS, c + 5])
+                    valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
+                    anyhit = _slab_any(smn, smx, best[0]) & valid
+                    return lax.cond(
+                        anyhit,
+                        lambda b: lax.fori_loop(s * SUB_PRIMS,
+                                                (s + 1) * SUB_PRIMS,
+                                                tri_body, b),
+                        lambda b: b, best)
+
+                return lax.fori_loop(0, NUM_SUBS, sub_body, best)
+
+            def cond(st):
+                return st[0] < Ntop
+
+            def body(st):
+                cursor = st[0]
+                best = st[1:]
+                # 128-wide SMEM packing (models/bricks.py field docs)
+                br, bc = cursor // 16, (cursor % 16) * 8
+                bmin = Vec3(boxes_ref[br, bc], boxes_ref[br, bc + 1],
+                            boxes_ref[br, bc + 2])
+                bmax = Vec3(boxes_ref[br, bc + 3], boxes_ref[br, bc + 4],
+                            boxes_ref[br, bc + 5])
+                lr, lc = cursor // 64, (cursor % 64) * 2
+                skip = links_ref[lr, lc]
+                brick = links_ref[lr, lc + 1]
+
+                anyhit = _slab_any(bmin, bmax, best[0])
+                is_leaf = brick >= 0
+                internal = brick < 0
+                process = is_leaf & anyhit
+
+                @pl.when(process)
+                def _():
+                    dma = pltpu.make_async_copy(bricks_ref.at[brick],
+                                                scratch, sem)
+                    dma.start()
+                    dma.wait()
+
+                best = lax.cond(process, process_brick, lambda b: b, best)
+                cursor = jnp.where(anyhit & internal, cursor + 1, skip)
+                return (cursor,) + best
+
+            st = lax.while_loop(cond, body,
+                                (jnp.int32(0),) + best)
+            (t, nx, ny, nz, px, py, pz, mt, ar, ag, ab, mp,
+             er, eg, eb, em) = st[1:]
+            return (t, Vec3(nx, ny, nz), Vec3(px, py, pz), mt,
+                    Vec3(ar, ag, ab), mp, Vec3(er, eg, eb), em)
+
+        body = make_persistent_kernel(width, height, num_samples, seed,
+                                      max_depth, block_rows, intersect,
+                                      tile=TILE)
+        body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref, outb_ref)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "S", "Ntop", "interpret"))
+def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
+                   sample_start, width: int, height: int, num_samples: int,
+                   seed: int, max_depth: int, S: int, Ntop: int,
+                   interpret: bool = False):
+    R = width * height
+    n_blocks = tile_grid(width, height, TILE)
+    rows_pad = n_blocks * BLOCK_ROWS
+    perm = jnp.asarray(tile_permutation(width, height, BLOCK_ROWS, TILE))
+
+    cam = jnp.zeros((1, 12), jnp.float32).at[0].set(
+        cam_data.reshape(12).astype(jnp.float32))
+    bg_arr = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(bg)
+    meta = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(
+        jnp.asarray(sample_start, jnp.int32))
+
+    kernel = _make_brick_kernel(width, height, S, Ntop, num_samples, seed,
+                                max_depth, BLOCK_ROWS)
+    out_shape = jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    outspec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[smem((1, 12)), smem((1, 4)), smem((1, 4)),
+                  smem(sph_rows.shape), smem(top_boxes.shape),
+                  smem(top_links.shape),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(outspec, outspec, outspec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[pltpu.SMEM((BRICK_ROWS, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(cam, bg_arr, meta, sph_rows, top_boxes, top_links, brick_data)
+    img = jnp.stack([r.reshape(-1)[perm], g.reshape(-1)[perm],
+                     b.reshape(-1)[perm]], axis=-1)
+    return img.reshape(height, width, 3)
+
+
+def render_samples_bricks(brickset: BrickSet, cam_data, width: int,
+                          height: int, sample_start, num_samples: int = 1,
+                          seed: int = 1984, max_depth: int = MAX_DEPTH,
+                          interpret: bool = False):
+    """Large-scene drop-in for ops.integrator.render_samples: the radiance
+    SUM of ``num_samples`` passes, [H,W,3]."""
+    bg = jnp.stack([jnp.asarray(brickset.bg_r), jnp.asarray(brickset.bg_g),
+                    jnp.asarray(brickset.bg_b)])
+    return _render_bricks(brickset.sph_rows, brickset.top_boxes,
+                          brickset.top_links, brickset.brick_data,
+                          cam_data, bg, sample_start, width, height,
+                          num_samples, seed, max_depth,
+                          brickset.num_spheres, brickset.num_top,
+                          interpret=interpret)

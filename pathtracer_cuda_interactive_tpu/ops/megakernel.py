@@ -148,30 +148,65 @@ def _tri_test(p0, e1, e2, org, dirn, tnear, tfar):
     return g.intersect_triangle(p0, e1, e2, org, dirn, tnear, tfar)
 
 
-def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
-                 seed: int, max_depth: int, block_rows: int):
+def make_persistent_kernel(width: int, height: int, num_samples: int,
+                           seed: int, max_depth: int, block_rows: int,
+                           intersect_fn, tile=None):
+    """Build the persistent-lane render kernel body around a scene-specific
+    closest-hit closure.
+
+    ``intersect_fn(org, dirn, tnear, shape, active) -> (t, ns_raw, pos,
+    mtype, albedo, mparam, emission, is_emitter)`` — t == inf on miss.
+    ``active`` is the live-lane i1 mask: adaptive intersectors (the brick
+    tracer) use it to skip work for dead/exhausted lanes whose stale rays
+    would otherwise drag the packet through the scene.  The shell provides
+    everything else: pixel/camera setup, path regeneration, the
+    radiance.cuh:21-79 bounce state machine, RNG streams, and sample
+    banking.  Shared by the small-scene SMEM megakernel below and the
+    brick tracer (ops/brickkernel.py).
+
+    ``tile=(TW, TH)`` swizzles the block's lanes onto a compact TW x TH
+    pixel tile (TW*TH == block_rows*128) instead of a row-major band —
+    a 640-wide band 3 pixels tall sweeps a frustum across the whole scene,
+    while a 64x32 tile keeps the packet's traversal union tight.  The
+    caller must un-permute the output (tile_permutation below)."""
     R = width * height
 
-    def kernel(cam_ref, bg_ref, meta_ref, rows_ref, outr_ref, outg_ref,
-               outb_ref):
+    def kernel_body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref,
+                    outb_ref):
         blk = pl.program_id(0)
         rowid = lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
         laneid = lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
-        pix = (blk * block_rows + rowid) * LANES + laneid
-        shape = pix.shape
-        # f32 mask: bool vectors crossing loop-region boundaries hit
-        # Mosaic's unsupported i8->i1 truncation
-        valid = pix < R
-
-        # pixel coords via float math (pix < 2^24 so f32 holds it exactly;
-        # Mosaic has no vector integer division).  The reciprocal multiply
-        # can be off by one ulp when width isn't a power of two, so correct
-        # the quotient until 0 <= i < width — this makes the split exact.
-        pixf = pix.astype(jnp.float32)
-        j = jnp.floor(pixf * (1.0 / width))
-        i = pixf - j * width
-        j = jnp.where(i >= width, j + 1.0, jnp.where(i < 0.0, j - 1.0, j))
-        i = jnp.where(i >= width, i - width, jnp.where(i < 0.0, i + width, i))
+        shape = rowid.shape
+        if tile is None:
+            pix = (blk * block_rows + rowid) * LANES + laneid
+            valid = pix < R
+            # pixel coords via float math (pix < 2^24 so f32 holds it
+            # exactly; Mosaic has no vector integer division).  The
+            # reciprocal multiply can be off by one ulp when width isn't a
+            # power of two, so correct the quotient until 0 <= i < width.
+            pixf = pix.astype(jnp.float32)
+            j = jnp.floor(pixf * (1.0 / width))
+            i = pixf - j * width
+            j = jnp.where(i >= width, j + 1.0,
+                          jnp.where(i < 0.0, j - 1.0, j))
+            i = jnp.where(i >= width, i - width,
+                          jnp.where(i < 0.0, i + width, i))
+        else:
+            tw, th = tile
+            assert tw * th == block_rows * LANES
+            assert tw <= LANES and LANES % tw == 0
+            lanes_per_row = tw
+            rows_per_tile_row = LANES // tw
+            tiles_x = -(-width // tw)
+            tile_x = blk % tiles_x
+            tile_y = blk // tiles_x
+            ii = tile_x * tw + laneid % lanes_per_row
+            jj = (tile_y * th + rowid * rows_per_tile_row
+                  + laneid // lanes_per_row)
+            valid = (ii < width) & (jj < height)
+            pix = jj * width + ii
+            i = ii.astype(jnp.float32)
+            j = jj.astype(jnp.float32)
 
         cam_o = Vec3(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
         cam_tl = Vec3(cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
@@ -234,8 +269,8 @@ def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
             tnear = jnp.where(depth > 0.0, SECONDARY_TNEAR, 0.0)
 
             # -- one bounce for every live lane
-            (t, ns_raw, pos, mt, alb, mp, em, emit) = _intersect_all(
-                rows_ref, S, F, org, dirn, tnear)
+            (t, ns_raw, pos, mt, alb, mp, em, emit) = intersect_fn(
+                org, dirn, tnear, shape, active)
 
             # complements are spelled as direct comparisons: vector
             # logical_not lowers to xori with a dense<true> i1 constant,
@@ -323,6 +358,50 @@ def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
         outr_ref[:] = st[15]
         outg_ref[:] = st[16]
         outb_ref[:] = st[17]
+
+    return kernel_body
+
+
+def tile_grid(width: int, height: int, tile) -> int:
+    """Number of grid blocks for a tile-swizzled kernel."""
+    tw, th = tile
+    return (-(-width // tw)) * (-(-height // th))
+
+
+def tile_permutation(width: int, height: int, block_rows: int,
+                     tile) -> np.ndarray:
+    """perm[p] = index into the flattened [n_blocks*block_rows, 128] kernel
+    output holding pixel p — the host-side inverse of the in-kernel tile
+    swizzle above."""
+    tw, th = tile
+    tiles_x = -(-width // tw)
+    n_blocks = tile_grid(width, height, tile)
+    blk = np.arange(n_blocks)[:, None, None]
+    rowid = np.arange(block_rows)[None, :, None]
+    laneid = np.arange(LANES)[None, None, :]
+    ii = (blk % tiles_x) * tw + laneid % tw
+    jj = (blk // tiles_x) * th + rowid * (LANES // tw) + laneid // tw
+    flat = ((blk * block_rows + rowid) * LANES + laneid)
+    valid = (ii < width) & (jj < height)
+    pix = (jj * width + ii)[valid]
+    perm = np.empty(width * height, np.int64)
+    perm[pix] = flat[np.broadcast_to(valid, flat.shape)]
+    return perm
+
+
+def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
+                 seed: int, max_depth: int, block_rows: int):
+    """Small-scene kernel: the persistent shell around the resident-SMEM
+    brute-force intersector."""
+
+    def kernel(cam_ref, bg_ref, meta_ref, rows_ref, outr_ref, outg_ref,
+               outb_ref):
+        def intersect(org, dirn, tnear, shape, active):
+            return _intersect_all(rows_ref, S, F, org, dirn, tnear)
+
+        body = make_persistent_kernel(width, height, num_samples, seed,
+                                      max_depth, block_rows, intersect)
+        body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref, outb_ref)
 
     return kernel
 

@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.bricks import BrickSet
 from ..models.device_scene import DeviceScene
 from ..models.scenepack import ScenePack, load_scene
+from ..ops.brickkernel import render_samples_bricks
 from ..ops.camera import Camera, camera_ray_data
 from ..ops.integrator import MAX_DEPTH, render_samples
 from ..ops.megakernel import MEGAKERNEL_MAX_PRIMS, render_samples_pallas
@@ -30,22 +32,34 @@ from ..utils import image as img_util
 from ..utils.config import RenderConfig, setup_jax
 
 
-def _use_megakernel(scene: DeviceScene) -> bool:
-    """Static dispatch: small scenes run the single-pallas_call megakernel
-    (ops/megakernel.py) on real TPUs; the XLA wavefront path covers large
-    scenes and the CPU test platform (Mosaic only targets TPU)."""
-    return (scene.num_prims <= MEGAKERNEL_MAX_PRIMS
-            and jax.default_backend() not in ("cpu", "gpu"))
+def _render_mode(pack: ScenePack) -> str:
+    """Static dispatch between the three compute paths:
+      * "megakernel" — small scenes, resident-SMEM Pallas kernel
+      * "bricks"     — large triangle scenes, Pallas brick tracer
+      * "xla"        — CPU test platform (Mosaic only targets TPU) and the
+                       rare large sphere-only scene
+    """
+    if jax.default_backend() in ("cpu", "gpu"):
+        return "xla"
+    if pack.num_prims <= MEGAKERNEL_MAX_PRIMS:
+        return "megakernel"
+    if pack.num_triangles > 0 and pack.num_spheres <= MEGAKERNEL_MAX_PRIMS:
+        return "bricks"
+    return "xla"
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "megakernel"),
+                                   "max_depth", "mode"),
          donate_argnames=("accum",))
-def _accumulate_step(scene: ScenePack, cam_data, accum, sample_start,
+def _accumulate_step(scene, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
-                     max_depth: int, megakernel: bool):
-    if megakernel:
+                     max_depth: int, mode: str):
+    if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
+                                    sample_start, num_samples, seed,
+                                    max_depth)
+    elif mode == "bricks":
+        new = render_samples_bricks(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
                                     max_depth)
     else:
