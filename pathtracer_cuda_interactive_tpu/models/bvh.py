@@ -68,12 +68,27 @@ def morton_codes(centroids: np.ndarray) -> np.ndarray:
             | _expand_bits_21(grid[:, 2]))
 
 
-def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBVH:
+def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray,
+              use_native: bool = True) -> FlatBVH:
     """Build the flattened preorder BVH for primitives with AABBs
-    ``prim_min``/``prim_max`` ([P,3] float arrays)."""
+    ``prim_min``/``prim_max`` ([P,3] float arrays).
+
+    Dispatches to the C++ builder (native/bvh_builder.cpp via
+    models/native.py) when available — same algorithm, bit-identical
+    output, much faster at million-prim scale — with this vectorized numpy
+    implementation as the always-available fallback and semantic
+    reference."""
     P = int(prim_min.shape[0])
     if P == 0:
         raise ValueError("cannot build a BVH over zero primitives")
+
+    if use_native and P > 1:
+        from . import native
+        out = native.build_bvh_native(prim_min, prim_max)
+        if out is not None:
+            node_min, node_max, skip, prim, depth = out
+            return FlatBVH(node_min=node_min, node_max=node_max,
+                           skip=skip, prim=prim, depth=depth)
 
     prim_min = np.asarray(prim_min, np.float32)
     prim_max = np.asarray(prim_max, np.float32)

@@ -75,8 +75,14 @@ class ProgressiveRenderer:
     def __init__(self, scene: ScenePack, camera: Camera, width: int,
                  height: int, config: RenderConfig = RenderConfig()):
         setup_jax()
+        self.mode = _render_mode(scene)
         if isinstance(scene, ScenePack):
-            scene = DeviceScene.from_pack(scene)
+            if self.mode == "bricks":
+                scene = BrickSet.from_pack(scene)
+            else:
+                scene = DeviceScene.from_pack(scene)
+        elif self.mode == "bricks" and not isinstance(scene, BrickSet):
+            self.mode = "xla"   # caller handed a prebuilt DeviceScene
         self.scene = jax.device_put(scene)
         self.camera = camera
         self.initial_camera = camera
@@ -140,8 +146,7 @@ class ProgressiveRenderer:
         self.accum = _accumulate_step(
             self.scene, self._cam_data, self.accum,
             jnp.uint32(self.sample_count), self.width, self.height,
-            ns, self.config.seed, self.config.max_depth,
-            _use_megakernel(self.scene))
+            ns, self.config.seed, self.config.max_depth, self.mode)
         if sync:
             self.accum.block_until_ready()
         self.frame_ms = (time.perf_counter() - t0) * 1e3
