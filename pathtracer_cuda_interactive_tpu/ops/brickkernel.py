@@ -109,7 +109,8 @@ def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
                        num_samples: int, seed: int, max_depth: int,
                        block_rows: int):
     def kernel(cam_ref, bg_ref, meta_ref, sph_ref, boxes_ref, links_ref,
-               bricks_ref, outr_ref, outg_ref, outb_ref, scratch, sem):
+               bricks_ref, outr_ref, outg_ref, outb_ref, scratch, stack_ref,
+               sem):
         def intersect(org, dirn, tnear, shape, active):
             zero = jnp.zeros(shape, jnp.float32)
             best = (jnp.full(shape, INF, jnp.float32),) + (zero,) * 15
@@ -181,26 +182,46 @@ def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
 
                 return lax.fori_loop(0, NUM_SUBS, sub_body, best)
 
+            # Near-child-first DEPTH-ORDERED walk with a scalar SMEM stack
+            # (the reference orders children by hit distance too,
+            # scene.h:278-297).  A plain skip-link sweep visits bricks in
+            # Morton order, so best-t barely prunes; visiting the packet's
+            # near subtree first tightens best-t early and culls far
+            # subtrees at their single visit-time box test.  Children are
+            # ordered by box-center projection onto the packet's mean
+            # direction — scalar reads only, no extra vector tests.
+            mdx = jnp.sum(jnp.where(active, dirn.x, 0.0))
+            mdy = jnp.sum(jnp.where(active, dirn.y, 0.0))
+            mdz = jnp.sum(jnp.where(active, dirn.z, 0.0))
+
+            def _center_key(n):
+                br, bc = n // 16, (n % 16) * 8
+                cxk = (boxes_ref[br, bc] + boxes_ref[br, bc + 3])
+                cyk = (boxes_ref[br, bc + 1] + boxes_ref[br, bc + 4])
+                czk = (boxes_ref[br, bc + 2] + boxes_ref[br, bc + 5])
+                return cxk * mdx + cyk * mdy + czk * mdz
+
+            stack_ref[0] = jnp.int32(0)
+
             def cond(st):
-                return st[0] < Ntop
+                return st[0] > 0
 
             def body(st):
-                cursor = st[0]
+                sp = st[0] - 1
                 best = st[1:]
+                n = stack_ref[sp]
                 # 128-wide SMEM packing (models/bricks.py field docs)
-                br, bc = cursor // 16, (cursor % 16) * 8
+                br, bc = n // 16, (n % 16) * 8
                 bmin = Vec3(boxes_ref[br, bc], boxes_ref[br, bc + 1],
                             boxes_ref[br, bc + 2])
                 bmax = Vec3(boxes_ref[br, bc + 3], boxes_ref[br, bc + 4],
                             boxes_ref[br, bc + 5])
-                lr, lc = cursor // 64, (cursor % 64) * 2
-                skip = links_ref[lr, lc]
+                lr, lc = n // 64, (n % 64) * 2
                 brick = links_ref[lr, lc + 1]
 
                 anyhit = _slab_any(bmin, bmax, best[0])
-                is_leaf = brick >= 0
-                internal = brick < 0
-                process = is_leaf & anyhit
+                process = anyhit & (brick >= 0)
+                descend = anyhit & (brick < 0)
 
                 @pl.when(process)
                 def _():
@@ -210,11 +231,23 @@ def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
                     dma.wait()
 
                 best = lax.cond(process, process_brick, lambda b: b, best)
-                cursor = jnp.where(anyhit & internal, cursor + 1, skip)
-                return (cursor,) + best
+
+                @pl.when(descend)
+                def _():
+                    left = n + 1
+                    right = links_ref[left // 64, (left % 64) * 2]  # skip(l)
+                    lkey = _center_key(left)
+                    rkey = _center_key(right)
+                    near = jnp.where(lkey <= rkey, left, right)
+                    far = jnp.where(lkey <= rkey, right, left)
+                    stack_ref[sp] = far
+                    stack_ref[sp + 1] = near   # popped first
+
+                sp = jnp.where(descend, sp + 2, sp)
+                return (sp,) + best
 
             st = lax.while_loop(cond, body,
-                                (jnp.int32(0),) + best)
+                                (jnp.int32(1),) + best)
             (t, nx, ny, nz, px, py, pz, mt, ar, ag, ab, mp,
              er, eg, eb, em) = st[1:]
             return (t, Vec3(nx, ny, nz), Vec3(px, py, pz), mt,
@@ -262,6 +295,7 @@ def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
         out_specs=(outspec, outspec, outspec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[pltpu.SMEM((BRICK_ROWS, 128), jnp.float32),
+                        pltpu.SMEM((64,), jnp.int32),   # traversal stack
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(cam, bg_arr, meta, sph_rows, top_boxes, top_links, brick_data)
