@@ -32,7 +32,7 @@ from jax import lax
 from ..models.device_scene import DeviceScene
 from . import brdf, camera, rng, shade
 from .bruteforce import BRUTE_FORCE_MAX_PRIMS, intersect_brute
-from .trace import trace_rays
+from .trace import trace_occluded, trace_rays
 from .vec import Vec3, dot, max_elem, where
 
 MAX_DEPTH = 50          # radiance.cuh:12
@@ -51,10 +51,40 @@ def intersect_scene(scene: DeviceScene, org: Vec3, dirn: Vec3, tnear):
     return trace_rays(scene.bvh_nodes, org, dirn, tnear)
 
 
+def _direct_point_lights(scene: DeviceScene, isect, n: Vec3, wi: Vec3,
+                         mat, T: Vec3, active) -> Vec3:
+    """Next-event estimation for point lights — the capability the
+    reference parses but never exercises (SURVEY.md §3.5: point lights are
+    uploaded yet the GPU integrator never samples them; its shadow-ray
+    helpers scene.h:306-330 are dead code).  Deterministic (no RNG draws),
+    so enabling it leaves every existing sample stream bit-identical.
+    Returns the direct-lighting radiance to add."""
+    num = int(scene.light_pos.shape[0])
+    out = Vec3.zeros(wi.x.shape)
+    for l in range(num):
+        lp = Vec3(scene.light_pos[l, 0], scene.light_pos[l, 1],
+                  scene.light_pos[l, 2])
+        d = lp - isect.position
+        dist2 = dot(d, d)
+        dist = jnp.sqrt(dist2)
+        wo = d * (1.0 / jnp.maximum(dist, 1e-20))
+        ev = brdf.eval_brdf(mat, n, wi, wo)   # value includes cos/pi terms
+        occ = trace_occluded(scene.bvh_nodes, isect.position, wo,
+                             SECONDARY_TNEAR, dist * (1.0 - 1e-3))
+        inten = Vec3(scene.light_intensity[l, 0],
+                     scene.light_intensity[l, 1],
+                     scene.light_intensity[l, 2])
+        contrib = T * ev.value * inten * (1.0 / jnp.maximum(dist2, 1e-20))
+        take = active & ~occ
+        out = out + where(take, contrib, Vec3.zeros(wi.x.shape))
+    return out
+
+
 def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
-            rr_depth):
+            rr_depth, nee: bool = False):
     """One shared bounce step (used by both loop variants).
-    rr_depth: traced scalar depth for RR gating, or None to disable RR."""
+    rr_depth: traced scalar depth for RR gating, or None to disable RR.
+    nee: sample point lights at every hit (beyond-reference capability)."""
     prim, _t = intersect_scene(scene, org, dirn, tnear)
 
     miss = prim < 0
@@ -73,6 +103,10 @@ def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
     n = where(cos_view < 0.0, -isect.shading_normal, isect.shading_normal)
 
     mat = brdf.lookup_materials(scene, isect.material_id)
+
+    if nee and int(scene.light_pos.shape[0]) > 0:
+        L = L + _direct_point_lights(scene, isect, n, wi, mat, T, active)
+
     samp = brdf.sample_brdf(mat, n, wi, state)
     state = samp.state
     ev = brdf.eval_brdf(mat, n, wi, samp.wo)
@@ -106,7 +140,8 @@ def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
 
 
 def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
-             state: jnp.ndarray, max_depth: int = MAX_DEPTH) -> Vec3:
+             state: jnp.ndarray, max_depth: int = MAX_DEPTH,
+             nee: bool = False) -> Vec3:
     """Path-traced radiance for a batch of rays.  org/dirn: Vec3 of
     [rows,128]; state: [rows,128] uint32 RNG.  Returns Vec3."""
     shape = state.shape
@@ -122,7 +157,7 @@ def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
     def body(st):
         org, dirn, T, L, active, tnear, state, depth = st
         org, dirn, T, L, active, tnear, state = _bounce(
-            scene, org, dirn, T, L, active, tnear, state, depth)
+            scene, org, dirn, T, L, active, tnear, state, depth, nee)
         return org, dirn, T, L, active, tnear, state, depth + 1
 
     st = (org, dirn, T, L, active, tnear, state, depth)
@@ -131,7 +166,8 @@ def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
 
 
 def radiance_fixed(scene: DeviceScene, org: Vec3, dirn: Vec3, state,
-                   num_bounces: int, use_rr: bool = True) -> Vec3:
+                   num_bounces: int, use_rr: bool = True,
+                   nee: bool = False) -> Vec3:
     """Bounded-depth variant using ``lax.scan`` so reverse-mode autodiff
     works (while_loop is not reverse-differentiable).  With use_rr=True and
     num_bounces <= RR_START_DEPTH+1 it matches radiance() exactly."""
@@ -144,7 +180,7 @@ def radiance_fixed(scene: DeviceScene, org: Vec3, dirn: Vec3, state,
     def body(carry, depth):
         org, dirn, T, L, active, tnear, state = carry
         out = _bounce(scene, org, dirn, T, L, active, tnear, state,
-                      depth if use_rr else None)
+                      depth if use_rr else None, nee)
         return out, None
 
     carry = (org, dirn, T, L, active, tnear, state)
@@ -164,7 +200,8 @@ def _pixel_grid(width: int, height: int):
 def render_pixel_sums(scene: DeviceScene, cam_data: jnp.ndarray,
                       pix: jnp.ndarray, width: int, height: int,
                       sample_start, num_samples: int = 1, seed: int = 1984,
-                      max_depth: int = MAX_DEPTH) -> jnp.ndarray:
+                      max_depth: int = MAX_DEPTH,
+                      nee: bool = False) -> jnp.ndarray:
     """Core sample loop over an explicit pixel-index batch ``pix``
     ([rows, 128] uint32 flat indices).  Returns the per-pixel radiance SUM
     of ``num_samples`` fresh passes, shaped [rows, 128, 3].  This is the
@@ -180,7 +217,7 @@ def render_pixel_sums(scene: DeviceScene, cam_data: jnp.ndarray,
         u = (i + u1) / width
         v = (j + u2) / height
         org, dirn = camera.generate_primary_rays(cam_data, u, v)
-        L = radiance(scene, org, dirn, state, max_depth)
+        L = radiance(scene, org, dirn, state, max_depth, nee)
         return acc + L.to_array()
 
     init = jnp.zeros(pix.shape + (3,), jnp.float32)
@@ -188,17 +225,17 @@ def render_pixel_sums(scene: DeviceScene, cam_data: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth"))
+                                   "max_depth", "nee"))
 def render_samples(scene: DeviceScene, cam_data: jnp.ndarray, width: int,
                    height: int, sample_start: jnp.ndarray,
                    num_samples: int = 1, seed: int = 1984,
-                   max_depth: int = MAX_DEPTH) -> jnp.ndarray:
+                   max_depth: int = MAX_DEPTH, nee: bool = False) -> jnp.ndarray:
     """Render ``num_samples`` full-image sample passes and return their SUM
     [H, W, 3] (the newSamples loop of render_progressive, main.cu:74-80).
     ``sample_start`` decorrelates RNG streams across frames (replaces the
     persistent curandState buffer)."""
     pix, valid, rows = _pixel_grid(width, height)
     acc = render_pixel_sums(scene, cam_data, pix, width, height,
-                            sample_start, num_samples, seed, max_depth)
+                            sample_start, num_samples, seed, max_depth, nee)
     acc = acc.reshape(rows * LANES, 3)[:width * height]
     return acc.reshape(height, width, 3)

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", default=None,
                     help="resume from an accumulation checkpoint")
     ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--nee", action="store_true",
+                    help="sample point lights with shadow rays (beyond-"
+                         "reference capability; the reference never samples "
+                         "its parsed point lights)")
     args = ap.parse_args(argv)
 
     from ..utils.config import RenderConfig, setup_jax
@@ -50,8 +54,10 @@ def main(argv=None) -> int:
           f"{pack.num_prims} primitives "
           f"({pack.num_spheres} spheres, {pack.num_triangles} triangles)")
 
-    cfg = RenderConfig(max_depth=args.max_depth) if args.max_depth \
-        else RenderConfig()
+    kw = {"enable_nee": args.nee}
+    if args.max_depth:
+        kw["max_depth"] = args.max_depth
+    cfg = RenderConfig(**kw)
     renderer = ProgressiveRenderer(
         pack, Camera.from_parsed(parsed.camera),
         args.width or parsed.camera.width,

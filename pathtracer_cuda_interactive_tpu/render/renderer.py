@@ -49,11 +49,11 @@ def _render_mode(pack: ScenePack) -> str:
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "mode"),
+                                   "max_depth", "mode", "nee"),
          donate_argnames=("accum",))
 def _accumulate_step(scene, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
-                     max_depth: int, mode: str):
+                     max_depth: int, mode: str, nee: bool = False):
     if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -64,7 +64,7 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
                                     max_depth)
     else:
         new = render_samples(scene, cam_data, width, height, sample_start,
-                             num_samples, seed, max_depth)
+                             num_samples, seed, max_depth, nee)
     return accum + new
 
 
@@ -75,7 +75,7 @@ class ProgressiveRenderer:
     def __init__(self, scene: ScenePack, camera: Camera, width: int,
                  height: int, config: RenderConfig = RenderConfig()):
         setup_jax()
-        self.mode = _render_mode(scene)
+        self.mode = "xla" if config.enable_nee else _render_mode(scene)
         if isinstance(scene, ScenePack):
             if self.mode == "bricks":
                 scene = BrickSet.from_pack(scene)
@@ -146,7 +146,8 @@ class ProgressiveRenderer:
         self.accum = _accumulate_step(
             self.scene, self._cam_data, self.accum,
             jnp.uint32(self.sample_count), self.width, self.height,
-            ns, self.config.seed, self.config.max_depth, self.mode)
+            ns, self.config.seed, self.config.max_depth, self.mode,
+            self.config.enable_nee)
         if sync:
             self.accum.block_until_ready()
         self.frame_ms = (time.perf_counter() - t0) * 1e3

@@ -30,6 +30,11 @@ class RenderConfig:
     # main.cu:336).  False lets frames pipeline — for throughput paths
     # where a host round-trip per frame measures link latency, not chip.
     sync_each_frame: bool = True
+    # next-event estimation for point lights — a beyond-reference
+    # capability (the reference parses point lights but never samples
+    # them, SURVEY.md §3.5).  Currently implemented on the XLA path, so
+    # enabling it pins the renderer to that path.
+    enable_nee: bool = False
 
 
 _CONFIGURED = False
