@@ -1,6 +1,8 @@
 """Large-scene brick-tracer benchmark (bunny by default; pass another
 scene XML as argv[1]).  Not part of bench.py: the driver-headline metric
 is the cbox interactive config."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, sys, numpy as np, jax, jax.numpy as jnp
 from pathtracer_cuda_interactive_tpu.models.scenepack import load_scene
 from pathtracer_cuda_interactive_tpu.models.bricks import BrickSet
