@@ -53,12 +53,23 @@ def merge_params(scene: DeviceScene, params) -> DeviceScene:
     return dataclasses.replace(scene, **params)
 
 
+def _auto_nee(scene: DeviceScene, nee) -> bool:
+    """nee=None -> on exactly when the scene has point lights: they only
+    reach the image through NEE, so light_intensity gradients are zero
+    without it."""
+    if nee is None:
+        return int(scene.light_pos.shape[0]) > 0
+    return bool(nee)
+
+
 def render_pixels_diff(scene: DeviceScene, cam_data, pix, width: int,
                        height: int, sample_start, num_samples: int,
-                       seed: int = 1984, num_bounces: int = 6):
+                       seed: int = 1984, num_bounces: int = 6,
+                       nee=None):
     """Differentiable analog of ops.integrator.render_pixel_sums: same
     camera/RNG conventions, but the bounce loop is the scan-based
     ``radiance_fixed`` so reverse-mode works.  Returns [rows,128,3] sums."""
+    nee = _auto_nee(scene, nee)
     i = (pix % width).astype(jnp.float32)
     j = (pix // width).astype(jnp.float32)
 
@@ -69,7 +80,7 @@ def render_pixels_diff(scene: DeviceScene, cam_data, pix, width: int,
         u = (i + u1) / width
         v = (j + u2) / height
         org, dirn = camera.generate_primary_rays(cam_data, u, v)
-        L = radiance_fixed(scene, org, dirn, state, num_bounces)
+        L = radiance_fixed(scene, org, dirn, state, num_bounces, nee=nee)
         return acc + L.to_array(), None
 
     init = jnp.zeros(pix.shape + (3,), jnp.float32)
@@ -90,16 +101,17 @@ def image_to_grid(img, n_tiles: int = 1):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "num_bounces"))
+                                   "num_bounces", "nee"))
 def loss_and_grad(params, scene: DeviceScene, cam_data, target_grid,
                   valid, pix, width: int, height: int, sample_start,
-                  num_samples: int, seed: int = 1984, num_bounces: int = 6):
+                  num_samples: int, seed: int = 1984, num_bounces: int = 6,
+                  nee=None):
     """Single-chip L2 image loss + gradients w.r.t. ``params``."""
     def loss_fn(params):
         s = merge_params(scene, params)
         acc = render_pixels_diff(s, cam_data, pix, width, height,
                                  sample_start, num_samples, seed,
-                                 num_bounces)
+                                 num_bounces, nee)
         img = acc / num_samples
         m = valid[..., None].astype(jnp.float32)
         err = (img - target_grid) * m
@@ -110,7 +122,7 @@ def loss_and_grad(params, scene: DeviceScene, cam_data, target_grid,
 
 def make_sharded_loss_and_grad(mesh, width: int, height: int,
                                num_samples: int, seed: int = 1984,
-                               num_bounces: int = 6):
+                               num_bounces: int = 6, nee=None):
     """Build the jitted multi-chip training step: renders under the
     (samples, tiles) shard_map, computes the global L2 loss, and returns
     (loss, grads) with gradients reduced across the mesh.  ``pix``,
@@ -126,7 +138,8 @@ def make_sharded_loss_and_grad(mesh, width: int, height: int,
         s_idx = lax.axis_index(SAMPLE_AXIS)
         local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
         acc = render_pixels_diff(s, cam_data, pix, width, height,
-                                 local_start, ns_local, seed, num_bounces)
+                                 local_start, ns_local, seed, num_bounces,
+                                 nee)
         img = lax.psum(acc, SAMPLE_AXIS) / ns_total
         m = valid[..., None].astype(jnp.float32)
         err = (img - target_grid) * m

@@ -10,9 +10,10 @@ the hardware *does* have:
 
 Triangles are sorted by Morton code of their centroid (the same spatial
 order the BVH uses, models/bvh.py) and cut into consecutive **bricks** of
-``BRICK_PRIMS`` prims.  Each brick is one dense [64,128] f32 block — 256
-megakernel-layout prim records (models/device_scene.py::_build_prim_rows)
-— that a single DMA brings into SMEM.  A small skip-link BVH (reusing
+``BRICK_PRIMS`` (512) prims.  Each brick is one dense [BRICK_ROWS, 128]
+f32 block — BRICK_DATA_ROWS (128) rows of megakernel-layout prim records
+(models/device_scene.py::_build_prim_rows) plus the sub-AABB row — that a
+single DMA brings into SMEM.  A small skip-link BVH (reusing
 build_bvh) is built **over brick AABBs**; it stays resident in SMEM so the
 per-packet cursor walk costs scalar reads only.
 
@@ -45,8 +46,9 @@ BRICK_ROWS = BRICK_DATA_ROWS + 8             # [136, 128] per-brick block
 class BrickSet:
     """Device-ready brick decomposition (all arrays host numpy; jax pytree
     registration mirrors DeviceScene)."""
-    # [B, 64, 128] f32 — brick b, prim k (0..255), float j (0..31) lives at
-    # [b, k // 4, (k % 4) * 32 + j]
+    # [B, BRICK_ROWS, 128] f32 — brick b, prim k (0..BRICK_PRIMS-1), float
+    # j (0..31) lives at [b, k // 4, (k % 4) * 32 + j]; row BRICK_DATA_ROWS
+    # carries the 16-entry sub-AABB table (see build_bricks)
     brick_data: np.ndarray
     # resident top-level tree over brick AABBs (skip-link preorder).
     # SMEM rows are padded to 128 lanes (512 B) regardless of declared

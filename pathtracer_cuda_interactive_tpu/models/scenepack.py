@@ -58,11 +58,20 @@ KIND_SPHERE = 2
 
 
 def _resolve_color(color) -> np.ndarray:
-    """Constant colors pass through; image textures resolve to mid-gray —
-    the reference parses textures but also never evaluates them at render
-    time (texture.h:18-56 is commented out; eval() ignores uv)."""
+    """Constant colors pass through; image textures resolve to the bitmap's
+    MEAN linear color (the reference parses textures but never evaluates
+    them at render time — texture.h:18-56 is commented out; eval() ignores
+    uv — so a flat mean color is already beyond its runtime capability).
+    Unreadable/missing bitmaps fall back to mid-gray."""
     if isinstance(color, ImageTexture):
-        return np.array([0.5, 0.5, 0.5], np.float32)
+        try:
+            from ..utils.image import read_png_any
+            img = read_png_any(color.filename).astype(np.float32) / 255.0
+            # bytes are gamma-encoded; square matches the renderer's
+            # sqrt display transform (opengl_display.cpp:104-111)
+            return (img * img).mean(axis=(0, 1)).astype(np.float32)
+        except Exception:
+            return np.array([0.5, 0.5, 0.5], np.float32)
     return np.asarray(color, np.float32)
 
 

@@ -9,8 +9,10 @@ query around the units the TPU does have:
     (models/bricks.py) that lives entirely in SMEM — one cursor per ray
     *packet* (the whole [block_rows, 128] tile), advanced by
     descend/skip decisions reduced from the packet's vectorized slab test;
-  * a DMA engine streams each visited leaf's brick — 256 Morton-ordered
-    triangles as one dense [64,128] f32 block — HBM -> SMEM;
+  * a DMA engine streams each visited leaf's brick — BRICK_PRIMS (512)
+    Morton-ordered triangles as one dense [BRICK_ROWS, 128] f32 block
+    (136 rows: 128 of prim records + the sub-AABB row, models/bricks.py)
+    — HBM -> SMEM;
   * the VPU brute-forces the packet against the brick with the same
     zero-gather scalar-record loop the small-scene megakernel uses.
 
@@ -55,7 +57,8 @@ INF = float("inf")
 
 
 def _brick_scalar(scratch, k, j):
-    """Prim k (0..255), float j (0..31) from the [64,128] brick block."""
+    """Prim k (0..BRICK_PRIMS-1), float j (0..31) from the
+    [BRICK_ROWS, 128] brick block (4 records of 32 floats per row)."""
     return scratch[k // 4, (k % 4) * 32 + j]
 
 
@@ -107,7 +110,7 @@ def _tri_record_body(read_vec, read_sc, k, best, org, dirn, tnear):
 
 def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
                        num_samples: int, seed: int, max_depth: int,
-                       block_rows: int):
+                       block_rows: int, rr_start_depth: int):
     def kernel(cam_ref, bg_ref, meta_ref, sph_ref, boxes_ref, links_ref,
                bricks_ref, outr_ref, outg_ref, outb_ref, scratch, stack_ref,
                sem):
@@ -255,18 +258,23 @@ def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
 
         body = make_persistent_kernel(width, height, num_samples, seed,
                                       max_depth, block_rows, intersect,
-                                      tile=TILE)
+                                      tile=TILE, rr_start_depth=rr_start_depth)
         body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref, outb_ref)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "S", "Ntop", "interpret"))
+                                   "max_depth", "S", "Ntop", "interpret",
+                                   "rr_start_depth"))
 def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
                    sample_start, width: int, height: int, num_samples: int,
                    seed: int, max_depth: int, S: int, Ntop: int,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   rr_start_depth: int = 5):
+    # f32 pixel-index reconstruction in the kernel is exact only below 2^24
+    assert width * height < 2 ** 24, (
+        "brick tracer pixel indices ride f32; use the XLA path above 16.7M px")
     R = width * height
     n_blocks = tile_grid(width, height, TILE)
     rows_pad = n_blocks * BLOCK_ROWS
@@ -279,7 +287,7 @@ def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
         jnp.asarray(sample_start, jnp.int32))
 
     kernel = _make_brick_kernel(width, height, S, Ntop, num_samples, seed,
-                                max_depth, BLOCK_ROWS)
+                                max_depth, BLOCK_ROWS, rr_start_depth)
     out_shape = jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32)
     smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.SMEM)
@@ -307,7 +315,8 @@ def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
 def render_samples_bricks(brickset: BrickSet, cam_data, width: int,
                           height: int, sample_start, num_samples: int = 1,
                           seed: int = 1984, max_depth: int = MAX_DEPTH,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          rr_start_depth: int = 5):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3]."""
     bg = jnp.stack([jnp.asarray(brickset.bg_r), jnp.asarray(brickset.bg_g),
@@ -317,4 +326,5 @@ def render_samples_bricks(brickset: BrickSet, cam_data, width: int,
                           cam_data, bg, sample_start, width, height,
                           num_samples, seed, max_depth,
                           brickset.num_spheres, brickset.num_top,
-                          interpret=interpret)
+                          interpret=interpret,
+                          rr_start_depth=rr_start_depth)

@@ -81,7 +81,8 @@ def _direct_point_lights(scene: DeviceScene, isect, n: Vec3, wi: Vec3,
 
 
 def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
-            rr_depth, nee: bool = False):
+            rr_depth, nee: bool = False,
+            rr_start_depth: int = RR_START_DEPTH):
     """One shared bounce step (used by both loop variants).
     rr_depth: traced scalar depth for RR gating, or None to disable RR.
     nee: sample point lights at every hit (beyond-reference capability)."""
@@ -129,7 +130,7 @@ def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
     # RNG streams of RR and no-RR variants stay aligned.
     state, u = rng.next_uniform(state)
     if rr_depth is not None:
-        rr_on = rr_depth > RR_START_DEPTH
+        rr_on = rr_depth > rr_start_depth
         p = jnp.maximum(0.5, 1.0 - max_elem(T))
         kill = rr_on & (u < p)
         scale = 1.0 / jnp.where(rr_on & ~kill & (p < 1.0), 1.0 - p, 1.0)
@@ -141,7 +142,8 @@ def _bounce(scene: DeviceScene, org, dirn, T, L, active, tnear, state,
 
 def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
              state: jnp.ndarray, max_depth: int = MAX_DEPTH,
-             nee: bool = False) -> Vec3:
+             nee: bool = False,
+             rr_start_depth: int = RR_START_DEPTH) -> Vec3:
     """Path-traced radiance for a batch of rays.  org/dirn: Vec3 of
     [rows,128]; state: [rows,128] uint32 RNG.  Returns Vec3."""
     shape = state.shape
@@ -157,7 +159,8 @@ def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
     def body(st):
         org, dirn, T, L, active, tnear, state, depth = st
         org, dirn, T, L, active, tnear, state = _bounce(
-            scene, org, dirn, T, L, active, tnear, state, depth, nee)
+            scene, org, dirn, T, L, active, tnear, state, depth, nee,
+            rr_start_depth)
         return org, dirn, T, L, active, tnear, state, depth + 1
 
     st = (org, dirn, T, L, active, tnear, state, depth)
@@ -167,7 +170,8 @@ def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
 
 def radiance_fixed(scene: DeviceScene, org: Vec3, dirn: Vec3, state,
                    num_bounces: int, use_rr: bool = True,
-                   nee: bool = False) -> Vec3:
+                   nee: bool = False,
+                   rr_start_depth: int = RR_START_DEPTH) -> Vec3:
     """Bounded-depth variant using ``lax.scan`` so reverse-mode autodiff
     works (while_loop is not reverse-differentiable).  With use_rr=True and
     num_bounces <= RR_START_DEPTH+1 it matches radiance() exactly."""
@@ -180,7 +184,7 @@ def radiance_fixed(scene: DeviceScene, org: Vec3, dirn: Vec3, state,
     def body(carry, depth):
         org, dirn, T, L, active, tnear, state = carry
         out = _bounce(scene, org, dirn, T, L, active, tnear, state,
-                      depth if use_rr else None, nee)
+                      depth if use_rr else None, nee, rr_start_depth)
         return out, None
 
     carry = (org, dirn, T, L, active, tnear, state)
@@ -201,7 +205,9 @@ def render_pixel_sums(scene: DeviceScene, cam_data: jnp.ndarray,
                       pix: jnp.ndarray, width: int, height: int,
                       sample_start, num_samples: int = 1, seed: int = 1984,
                       max_depth: int = MAX_DEPTH,
-                      nee: bool = False) -> jnp.ndarray:
+                      nee: bool = False,
+                      rr_start_depth: int = RR_START_DEPTH,
+                      num_real=None) -> jnp.ndarray:
     """Core sample loop over an explicit pixel-index batch ``pix``
     ([rows, 128] uint32 flat indices).  Returns the per-pixel radiance SUM
     of ``num_samples`` fresh passes, shaped [rows, 128, 3].  This is the
@@ -217,25 +223,34 @@ def render_pixel_sums(scene: DeviceScene, cam_data: jnp.ndarray,
         u = (i + u1) / width
         v = (j + u2) / height
         org, dirn = camera.generate_primary_rays(cam_data, u, v)
-        L = radiance(scene, org, dirn, state, max_depth, nee)
-        return acc + L.to_array()
+        L = radiance(scene, org, dirn, state, max_depth, nee,
+                     rr_start_depth)
+        out = L.to_array()
+        if num_real is not None:
+            # sample-sharded callers render a static ceil count per shard
+            # but only the first ``num_real`` passes are wanted — masking
+            # (not shrinking) keeps shapes static (parallel/sharding.py)
+            out = jnp.where(k < num_real, out, 0.0)
+        return acc + out
 
     init = jnp.zeros(pix.shape + (3,), jnp.float32)
     return lax.fori_loop(0, num_samples, one_sample, init)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "nee"))
+                                   "max_depth", "nee", "rr_start_depth"))
 def render_samples(scene: DeviceScene, cam_data: jnp.ndarray, width: int,
                    height: int, sample_start: jnp.ndarray,
                    num_samples: int = 1, seed: int = 1984,
-                   max_depth: int = MAX_DEPTH, nee: bool = False) -> jnp.ndarray:
+                   max_depth: int = MAX_DEPTH, nee: bool = False,
+                   rr_start_depth: int = RR_START_DEPTH) -> jnp.ndarray:
     """Render ``num_samples`` full-image sample passes and return their SUM
     [H, W, 3] (the newSamples loop of render_progressive, main.cu:74-80).
     ``sample_start`` decorrelates RNG streams across frames (replaces the
     persistent curandState buffer)."""
     pix, valid, rows = _pixel_grid(width, height)
     acc = render_pixel_sums(scene, cam_data, pix, width, height,
-                            sample_start, num_samples, seed, max_depth, nee)
+                            sample_start, num_samples, seed, max_depth, nee,
+                            rr_start_depth)
     acc = acc.reshape(rows * LANES, 3)[:width * height]
     return acc.reshape(height, width, 3)

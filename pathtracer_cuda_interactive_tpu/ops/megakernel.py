@@ -150,7 +150,8 @@ def _tri_test(p0, e1, e2, org, dirn, tnear, tfar):
 
 def make_persistent_kernel(width: int, height: int, num_samples: int,
                            seed: int, max_depth: int, block_rows: int,
-                           intersect_fn, tile=None):
+                           intersect_fn, tile=None,
+                           rr_start_depth: int = RR_START_DEPTH):
     """Build the persistent-lane render kernel body around a scene-specific
     closest-hit closure.
 
@@ -321,8 +322,8 @@ def make_persistent_kernel(width: int, height: int, num_samples: int,
             dirn = where(active, wo, dirn)
 
             state, ru = rng.next_uniform_i32(state)
-            rr_on = depth > float(RR_START_DEPTH)
-            not_rr = depth <= float(RR_START_DEPTH)
+            rr_on = depth > float(rr_start_depth)
+            not_rr = depth <= float(rr_start_depth)
             p = jnp.maximum(0.5, 1.0 - max_elem(T))
             keep = ru >= p          # == ~kill within rr_on lanes
             scale = 1.0 / jnp.where(rr_on & keep & (p < 1.0), 1.0 - p, 1.0)
@@ -390,7 +391,8 @@ def tile_permutation(width: int, height: int, block_rows: int,
 
 
 def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
-                 seed: int, max_depth: int, block_rows: int):
+                 seed: int, max_depth: int, block_rows: int,
+                 rr_start_depth: int):
     """Small-scene kernel: the persistent shell around the resident-SMEM
     brute-force intersector."""
 
@@ -400,17 +402,23 @@ def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
             return _intersect_all(rows_ref, S, F, org, dirn, tnear)
 
         body = make_persistent_kernel(width, height, num_samples, seed,
-                                      max_depth, block_rows, intersect)
+                                      max_depth, block_rows, intersect,
+                                      rr_start_depth=rr_start_depth)
         body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref, outb_ref)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "S", "F", "interpret"))
+                                   "max_depth", "S", "F", "interpret",
+                                   "rr_start_depth"))
 def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
                    height: int, num_samples: int, seed: int, max_depth: int,
-                   S: int, F: int, interpret: bool = False):
+                   S: int, F: int, interpret: bool = False,
+                   rr_start_depth: int = RR_START_DEPTH):
+    # f32 pixel-index reconstruction in the kernel is exact only below 2^24
+    assert width * height < 2 ** 24, (
+        "megakernel pixel indices ride f32; use the XLA path above 16.7M px")
     R = width * height
     rows_total = -(-R // LANES)
     n_blocks = -(-rows_total // BLOCK_ROWS)
@@ -423,7 +431,7 @@ def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
         jnp.asarray(sample_start, jnp.int32))
 
     kernel = _make_kernel(width, height, S, F, num_samples, seed, max_depth,
-                          BLOCK_ROWS)
+                          BLOCK_ROWS, rr_start_depth)
     out_shape = jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32)
     smem = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0),
                                     memory_space=pltpu.SMEM)
@@ -446,7 +454,8 @@ def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
 def render_samples_pallas(scene, cam_data, width: int, height: int,
                           sample_start, num_samples: int = 1,
                           seed: int = 1984, max_depth: int = MAX_DEPTH,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          rr_start_depth: int = RR_START_DEPTH):
     """Drop-in replacement for ops.integrator.render_samples on scenes with
     <= MEGAKERNEL_MAX_PRIMS primitives.  Returns the [H,W,3] radiance sum
     of ``num_samples`` passes."""
@@ -455,4 +464,5 @@ def render_samples_pallas(scene, cam_data, width: int, height: int,
     return _render_pallas(scene.prim_rows, cam_data, bg, sample_start,
                           width, height, num_samples, seed, max_depth,
                           scene.num_spheres, scene.num_triangles,
-                          interpret=interpret)
+                          interpret=interpret,
+                          rr_start_depth=rr_start_depth)

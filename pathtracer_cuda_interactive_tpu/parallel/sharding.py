@@ -74,13 +74,19 @@ def _render_sharded(scene, cam_data, pix, sample_start, width, height,
                     num_samples, seed, max_depth, mesh):
     ns_total = num_samples
     ns_shard = mesh.shape[SAMPLE_AXIS]
-    ns_local = -(-ns_total // ns_shard)  # ceil; extra samples are real extra
+    ns_local = -(-ns_total // ns_shard)  # static ceil per shard
 
     def shard_fn(scene, cam_data, pix, sample_start):
         s_idx = lax.axis_index(SAMPLE_AXIS)
         local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        # every shard runs the same static ns_local passes, but passes past
+        # the global num_samples are masked to zero, so the psum'd result
+        # covers EXACTLY num_samples (a caller dividing by num_samples is
+        # always correct)
+        n_real = jnp.clip(ns_total - s_idx * ns_local, 0, ns_local)
         acc = render_pixel_sums(scene, cam_data, pix, width, height,
-                                local_start, ns_local, seed, max_depth)
+                                local_start, ns_local, seed, max_depth,
+                                num_real=n_real)
         return lax.psum(acc, SAMPLE_AXIS)
 
     fn = jax.shard_map(
@@ -96,9 +102,9 @@ def render_samples_sharded(scene: DeviceScene, cam_data, width: int,
                            mesh: Mesh, seed: int = 1984,
                            max_depth: int = MAX_DEPTH) -> jnp.ndarray:
     """Sharded equivalent of ops.integrator.render_samples: returns the
-    [H, W, 3] radiance sum of ``num_samples`` passes, computed across the
-    mesh.  Per-chip sample counts round UP so the true total may exceed
-    ``num_samples``; use ``effective_samples`` for the display divide."""
+    [H, W, 3] radiance sum of EXACTLY ``num_samples`` passes, computed
+    across the mesh (per-chip pass counts ceil-round, but the surplus
+    passes are masked out of the sum)."""
     n_tiles = mesh.shape[TILE_AXIS]
     pix, rows = _padded_grid(width, height, n_tiles)
     pix_sharded = jax.device_put(
@@ -111,9 +117,11 @@ def render_samples_sharded(scene: DeviceScene, cam_data, width: int,
 
 
 def effective_samples(num_samples: int, mesh: Mesh) -> int:
-    """Samples actually rendered per pixel (ceil-rounded per sample shard)."""
-    ns_shard = mesh.shape[SAMPLE_AXIS]
-    return -(-num_samples // ns_shard) * ns_shard
+    """Samples in the sum render_samples_sharded returns.  Since surplus
+    ceil-rounded passes are masked, this is now always ``num_samples``;
+    kept for API compatibility."""
+    del mesh
+    return num_samples
 
 
 def scaling_report(width: int = 640, height: int = 480,

@@ -32,15 +32,22 @@ from ..utils import image as img_util
 from ..utils.config import RenderConfig, setup_jax
 
 
-def _render_mode(pack: ScenePack) -> str:
+def _render_mode(pack, width: int, height: int) -> str:
     """Static dispatch between the three compute paths:
       * "megakernel" — small scenes, resident-SMEM Pallas kernel
       * "bricks"     — large triangle scenes, Pallas brick tracer
       * "xla"        — CPU test platform (Mosaic only targets TPU) and the
                        rare large sphere-only scene
+
+    Accepts a ScenePack, a DeviceScene (has the same count attributes) or a
+    prebuilt BrickSet (pins the brick path — it has no prim counts).
     """
+    if isinstance(pack, BrickSet):
+        return "bricks"
     if jax.default_backend() in ("cpu", "gpu"):
         return "xla"
+    if width * height >= 2 ** 24:
+        return "xla"   # Pallas paths reconstruct pixel indices in f32
     if pack.num_prims <= MEGAKERNEL_MAX_PRIMS:
         return "megakernel"
     if pack.num_triangles > 0 and pack.num_spheres <= MEGAKERNEL_MAX_PRIMS:
@@ -49,22 +56,25 @@ def _render_mode(pack: ScenePack) -> str:
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "mode", "nee"),
+                                   "max_depth", "mode", "nee",
+                                   "rr_start_depth"),
          donate_argnames=("accum",))
 def _accumulate_step(scene, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
-                     max_depth: int, mode: str, nee: bool = False):
+                     max_depth: int, mode: str, nee: bool = False,
+                     rr_start_depth: int = 5):
     if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
-                                    max_depth)
+                                    max_depth, rr_start_depth=rr_start_depth)
     elif mode == "bricks":
         new = render_samples_bricks(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
-                                    max_depth)
+                                    max_depth, rr_start_depth=rr_start_depth)
     else:
         new = render_samples(scene, cam_data, width, height, sample_start,
-                             num_samples, seed, max_depth, nee)
+                             num_samples, seed, max_depth, nee,
+                             rr_start_depth)
     return accum + new
 
 
@@ -75,7 +85,9 @@ class ProgressiveRenderer:
     def __init__(self, scene: ScenePack, camera: Camera, width: int,
                  height: int, config: RenderConfig = RenderConfig()):
         setup_jax()
-        self.mode = "xla" if config.enable_nee else _render_mode(scene)
+        self.mode = _render_mode(scene, width, height)
+        if config.enable_nee and not isinstance(scene, BrickSet):
+            self.mode = "xla"   # NEE currently runs on the XLA path only
         if isinstance(scene, ScenePack):
             if self.mode == "bricks":
                 scene = BrickSet.from_pack(scene)
@@ -147,7 +159,7 @@ class ProgressiveRenderer:
             self.scene, self._cam_data, self.accum,
             jnp.uint32(self.sample_count), self.width, self.height,
             ns, self.config.seed, self.config.max_depth, self.mode,
-            self.config.enable_nee)
+            self.config.enable_nee, self.config.rr_start_depth)
         if sync:
             self.accum.block_until_ready()
         self.frame_ms = (time.perf_counter() - t0) * 1e3

@@ -87,6 +87,19 @@ def read_png(path: str) -> np.ndarray:
     return img
 
 
+def read_png_any(path: str) -> np.ndarray:
+    """Read an arbitrary 8-bit image file to RGB uint8 [H,W,3].  Prefers
+    Pillow (handles every PNG filter/interlace mode — needed for the
+    reference's sample_images in the golden tests); falls back to our
+    minimal reader for plain RGB8 PNGs."""
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+    except ImportError:
+        return read_png(path)
+
+
 def save_exr_like_npz(path: str, accum: np.ndarray, sample_count: int,
                       **extra) -> None:
     """HDR dump: accumulation + count (+ any extra state), the

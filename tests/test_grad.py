@@ -52,9 +52,12 @@ def test_grad_matches_finite_difference(setup):
                                     num_bounces=BOUNCES)
     assert float(loss) > 0
 
-    # central finite differences on a few scalar entries
+    # central finite differences on a few scalar entries.  light_intensity
+    # is reachable only through NEE (auto-enabled: scene1 has point
+    # lights), so its inclusion guards against the silently-dead-parameter
+    # regression (ADVICE r1: nee was never threaded through the diff path).
     checked = 0
-    for key in ("mat_r", "mat_g", "bg_r"):
+    for key in ("mat_r", "mat_g", "bg_r", "light_intensity"):
         g = np.asarray(grads[key])
         arr = np.asarray(params0[key], np.float64)
         for idx in range(min(arr.size, 2)):
@@ -73,7 +76,9 @@ def test_grad_matches_finite_difference(setup):
             assert abs(fd - an) <= 2e-3 + 0.08 * max(abs(fd), abs(an)), \
                 (key, idx, fd, an)
             checked += 1
-    assert checked >= 4
+    assert checked >= 6
+    assert np.any(np.asarray(grads["light_intensity"]) != 0.0), \
+        "light_intensity gradient must be live when the scene has point lights"
 
 
 def test_gradient_descent_reduces_loss(setup):

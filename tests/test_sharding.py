@@ -35,17 +35,22 @@ def test_sharded_matches_single(sphere_scene, sample_parallel):
     img = np.asarray(sh.render_samples_sharded(
         scene_r, cd, W, H, jnp.uint32(0), SPP, mesh))
     assert img.shape == (H, W, 3)
-    # per-shard sample counts ceil-round, so compare at the effective count
-    eff = sh.effective_samples(SPP, mesh)
-    ref = np.asarray(render_samples(scene, cd, W, H, jnp.uint32(0), eff))
+    ref = np.asarray(render_samples(scene, cd, W, H, jnp.uint32(0), SPP))
     np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_effective_samples():
+@pytest.mark.parametrize("spp", [1, 3, 5])
+def test_sharded_exact_samples_with_remainder(sphere_scene, spp):
+    """Sample counts that do NOT divide the sample axis must still return
+    the sum of exactly ``spp`` passes (surplus ceil passes are masked)."""
+    scene, cd = sphere_scene
     mesh = sh.make_mesh(sample_parallel=4)
-    assert sh.effective_samples(4, mesh) == 4
-    assert sh.effective_samples(5, mesh) == 8  # ceil per shard x shards
-    assert sh.effective_samples(1, mesh) == 4
+    scene_r = sh.replicate_scene(scene, mesh)
+    img = np.asarray(sh.render_samples_sharded(
+        scene_r, cd, W, H, jnp.uint32(0), spp, mesh))
+    ref = np.asarray(render_samples(scene, cd, W, H, jnp.uint32(0), spp))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
+    assert sh.effective_samples(spp, mesh) == spp
 
 
 def test_mesh_shape_validation():
