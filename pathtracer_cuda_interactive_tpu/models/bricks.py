@@ -8,14 +8,16 @@ the hardware *does* have:
   * a scalar unit that can walk a small tree with SMEM reads, and
   * DMA engines that can stream contiguous blocks HBM -> SMEM.
 
-Triangles are sorted by Morton code of their centroid (the same spatial
-order the BVH uses, models/bvh.py) and cut into consecutive **bricks** of
-``BRICK_PRIMS`` (512) prims.  Each brick is one dense [BRICK_ROWS, 128]
-f32 block — BRICK_DATA_ROWS (128) rows of megakernel-layout prim records
-(models/device_scene.py::_build_prim_rows) plus the sub-AABB row — that a
-single DMA brings into SMEM.  A small skip-link BVH (reusing
-build_bvh) is built **over brick AABBs**; it stays resident in SMEM so the
-per-packet cursor walk costs scalar reads only.
+Triangles are partitioned by a binned-SAH treelet cut (models/sah.py):
+each SAH leaf of up to ``BRICK_PRIMS`` (512) prims becomes a **brick** —
+one dense [BRICK_ROWS, 128] f32 block of BRICK_DATA_ROWS (128) rows of
+megakernel-layout prim records (models/device_scene.py::_build_prim_rows)
+plus a sub-AABB row — that a single DMA brings into SMEM.  The SAH tree
+itself, flattened preorder skip-link, is the resident top tree the scalar
+core walks.  (Round 1 used fixed 512-slices of the global Morton order;
+SAH leaves are spatially tight, cutting bricks-visited per packet.)
+Within a brick, prims are Morton-ordered so the 16 consecutive 32-prim
+sub-chunks have tight AABBs for the in-kernel sub-cull.
 
 Spheres are not bricked: the scenes in scope have at most dozens
 (scenes/aabb_test: 30), so they stay in a small resident table the kernel
@@ -29,17 +31,25 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .bvh import build_bvh, morton_codes
+from .bvh import morton_codes
 from .device_scene import _build_prim_rows
+from .sah import build_sah_treelets
 from .scenepack import ScenePack
 
-BRICK_PRIMS = 512           # prims per brick (512 * 32 f32 = 128 data rows)
+BRICK_PRIMS = 512           # max prims per brick (512 * 32 f32 = 128 rows)
 SUB_PRIMS = 32              # prims per sub-chunk, culled by sub-AABB
 NUM_SUBS = BRICK_PRIMS // SUB_PRIMS          # 16 sub-AABBs per brick
 BRICK_DATA_ROWS = BRICK_PRIMS * 32 // 128    # 128 rows of prim records
 # one extra row carries the sub-AABB table: sub s field f (0..5 = min xyz,
 # max xyz) at [BRICK_DATA_ROWS, s * 8 + f]; padded to 8-row alignment
 BRICK_ROWS = BRICK_DATA_ROWS + 8             # [136, 128] per-brick block
+# traversal scalar stack slots (ops/brickkernel.py); the walk needs at most
+# tree_depth + 1 live slots
+STACK_DEPTH = 192
+# resident top-tree SMEM budget: boxes pack 16 nodes/row (512 B/row) and
+# links 64 nodes/row -> 40 B/node; keep the tables under ~0.75 MB of the
+# 1 MB SMEM alongside the 70 KB brick scratch + sphere table
+MAX_TOP_NODES = 18_000
 
 
 @dataclass
@@ -91,42 +101,43 @@ def build_bricks(pack: ScenePack) -> BrickSet:
     tmin = np.minimum(np.minimum(p0, p1), p2)
     tmax = np.maximum(np.maximum(p0, p1), p2)
 
-    order = np.argsort(
-        morton_codes(0.5 * (tmin.astype(np.float64) + tmax)), kind="stable")
-    tri_rows = tri_rows[order]
-    tmin, tmax = tmin[order], tmax[order]
+    top = build_sah_treelets(tmin, tmax, leaf_size=BRICK_PRIMS)
+    if top.num_nodes > MAX_TOP_NODES:
+        raise ValueError(
+            f"scene needs {top.num_nodes} top-tree nodes; the resident "
+            f"SMEM top tree caps at {MAX_TOP_NODES} (~4.6M triangles)")
+    assert top.depth + 2 <= STACK_DEPTH, (top.depth, STACK_DEPTH)
+    B = top.num_leaves
 
-    B = -(-F // BRICK_PRIMS)
+    # global Morton order used WITHIN each brick: tight consecutive
+    # 32-prim sub-chunks for the in-kernel sub-AABB cull
+    morton = morton_codes(0.5 * (tmin.astype(np.float64) + tmax))
+
     data = np.zeros((B, BRICK_ROWS, 128), np.float32)
-    prim_block = np.zeros((B * BRICK_PRIMS, 32), np.float32)
-    prim_block[:F] = tri_rows
-    data[:, :BRICK_DATA_ROWS, :] = prim_block.reshape(
-        B, BRICK_DATA_ROWS, 128)
-    # brick AABBs over real members only
-    bmin = np.full((B, 3), np.inf, np.float32)
-    bmax = np.full((B, 3), -np.inf, np.float32)
-    bid = np.arange(F) // BRICK_PRIMS
-    np.minimum.at(bmin, bid, tmin)
-    np.maximum.at(bmax, bid, tmax)
-    # sub-AABB table: NUM_SUBS chunks of SUB_PRIMS consecutive prims.
-    # Field 6 marks real (non-empty) chunks — an inverted/sentinel box is
-    # NOT a reliable slab-test miss once min/max swaps normalize it.
-    smin = np.zeros((B * NUM_SUBS, 3), np.float32)
-    smax = np.zeros((B * NUM_SUBS, 3), np.float32)
-    smin[:(-(-F // SUB_PRIMS))] = np.inf
-    smax[:(-(-F // SUB_PRIMS))] = -np.inf
-    sid = np.arange(F) // SUB_PRIMS
-    np.minimum.at(smin, sid, tmin)
-    np.maximum.at(smax, sid, tmax)
-    counts = np.zeros(B * NUM_SUBS, np.int64)
-    np.add.at(counts, sid, 1)
+    # scatter each brick's (Morton-sorted) records into its padded block
+    brick_prims = np.zeros((B, BRICK_PRIMS, 32), np.float32)
     sub_tbl = np.zeros((B, NUM_SUBS, 8), np.float32)
-    sub_tbl[..., 0:3] = smin.reshape(B, NUM_SUBS, 3)
-    sub_tbl[..., 3:6] = smax.reshape(B, NUM_SUBS, 3)
-    sub_tbl[..., 6] = (counts > 0).reshape(B, NUM_SUBS)
+    for b in range(B):
+        ids = top.order[top.leaf_start[b]:top.leaf_start[b]
+                        + top.leaf_count[b]]
+        ids = ids[np.argsort(morton[ids], kind="stable")]
+        nb = len(ids)
+        brick_prims[b, :nb] = tri_rows[ids]
+        sid = np.arange(nb) // SUB_PRIMS
+        nsub = -(-nb // SUB_PRIMS)
+        smin = np.full((NUM_SUBS, 3), np.inf, np.float32)
+        smax = np.full((NUM_SUBS, 3), -np.inf, np.float32)
+        np.minimum.at(smin, sid, tmin[ids])
+        np.maximum.at(smax, sid, tmax[ids])
+        sub_tbl[b, :nsub, 0:3] = smin[:nsub]
+        sub_tbl[b, :nsub, 3:6] = smax[:nsub]
+        # field 6 marks real (non-empty) chunks — an inverted/sentinel box
+        # is NOT a reliable slab-test miss once min/max swaps normalize it
+        sub_tbl[b, :nsub, 6] = 1.0
+    data[:, :BRICK_DATA_ROWS, :] = brick_prims.reshape(
+        B, BRICK_DATA_ROWS, 128)
     data[:, BRICK_DATA_ROWS, :] = sub_tbl.reshape(B, 128)
 
-    top = build_bvh(bmin, bmax)
     Ntop = top.num_nodes
     boxes = np.zeros((-(-Ntop // 16) * 16, 8), np.float32)
     boxes[:Ntop, 0:3] = top.node_min
@@ -134,7 +145,7 @@ def build_bricks(pack: ScenePack) -> BrickSet:
     top_boxes = boxes.reshape(-1, 128)
     links = np.zeros((-(-Ntop // 64) * 64, 2), np.int32)
     links[:Ntop, 0] = top.skip
-    links[:Ntop, 1] = top.prim
+    links[:Ntop, 1] = top.leaf_of_node   # brick id at leaves, -1 internal
     top_links = links.reshape(-1, 128)
 
     return BrickSet(

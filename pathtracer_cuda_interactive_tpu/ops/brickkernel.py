@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.bricks import (BRICK_DATA_ROWS, BRICK_PRIMS, BRICK_ROWS,
-                             NUM_SUBS, SUB_PRIMS, BrickSet)
+                             NUM_SUBS, STACK_DEPTH, SUB_PRIMS, BrickSet)
 from . import rng
 from .integrator import LANES, MAX_DEPTH
 from .megakernel import (_scalar, _svec, make_persistent_kernel,
@@ -303,7 +303,7 @@ def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
         out_specs=(outspec, outspec, outspec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[pltpu.SMEM((BRICK_ROWS, 128), jnp.float32),
-                        pltpu.SMEM((64,), jnp.int32),   # traversal stack
+                        pltpu.SMEM((STACK_DEPTH,), jnp.int32),  # trav. stack
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(cam, bg_arr, meta, sph_rows, top_boxes, top_links, brick_data)
