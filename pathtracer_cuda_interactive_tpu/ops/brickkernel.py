@@ -108,154 +108,185 @@ def _tri_record_body(read_vec, read_sc, k, best, org, dirn, tnear):
     return _select16(best, closer, t, ns, pos, attrs)
 
 
+def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
+                         scratch, stack_ref, sem, S: int,
+                         collect_stats: bool = False):
+    """Build the packet closest-hit closure over the SMEM top tree + DMA'd
+    bricks.  Shared by the persistent-lane kernel below and the one-bounce
+    wavefront trace kernel (ops/wavefront.py).  The returned
+    ``intersect(org, dirn, tnear, shape, active)`` matches the
+    make_persistent_kernel contract (ops/megakernel.py).
+
+    ``collect_stats=True`` appends a (nodes_stepped, bricks_processed,
+    chunks_tested) i32 scalar triple to the return tuple — the per-packet
+    traversal cost observability the perf work steers by
+    (tools/kernel_stats.py)."""
+
+    def intersect(org, dirn, tnear, shape, active):
+        zero = jnp.zeros(shape, jnp.float32)
+        best = (jnp.full(shape, INF, jnp.float32),) + (zero,) * 15
+
+        # -- resident spheres (megakernel sphere_body semantics)
+        def sphere_body(k, best):
+            c = _svec(sph_ref, k, 1)
+            r = _scalar(sph_ref, k, 4)
+            bt = best[0]
+            t, hit = _sphere_test(c, r, org, dirn, tnear, bt)
+            closer = hit & (t < bt)
+            pos = Vec3(org.x + dirn.x * t, org.y + dirn.y * t,
+                       org.z + dirn.z * t)
+            ns = Vec3(pos.x - c.x, pos.y - c.y, pos.z - c.z)
+            attrs = tuple(_scalar(sph_ref, k, j)
+                          for j in (19, 20, 21, 22, 23, 24, 25, 26, 27))
+            return _select16(best, closer, t, ns, pos, attrs)
+
+        if S > 0:
+            best = lax.fori_loop(0, S, sphere_body, best)
+
+        # -- packet walk of the SMEM brick tree
+        # per-axis safe reciprocal (slab test semantics match
+        # geometry.slab_test: +/-inf propagates correctly)
+        inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
+
+        def _slab_any(bmin, bmax, t_best):
+            """Packet slab test vs a scalar AABB -> (vector mask
+            reduced with the live-lane mask, scalar any-hit)."""
+            tx0 = (bmin.x - org.x) * inv.x
+            tx1 = (bmax.x - org.x) * inv.x
+            ty0 = (bmin.y - org.y) * inv.y
+            ty1 = (bmax.y - org.y) * inv.y
+            tz0 = (bmin.z - org.z) * inv.z
+            tz1 = (bmax.z - org.z) * inv.z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            hitm = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+                    & active)
+            return jnp.any(hitm)
+
+        def process_brick(st):
+            def tri_body(k, best):
+                return _tri_record_body(
+                    lambda kk, j: _brick_svec(scratch, kk, j),
+                    lambda kk, j: _brick_scalar(scratch, kk, j),
+                    k, best, org, dirn, tnear)
+
+            def sub_body(s, st):
+                chunks, best = st[0], st[1:]
+                c = s * 8
+                smn = Vec3(scratch[BRICK_DATA_ROWS, c],
+                           scratch[BRICK_DATA_ROWS, c + 1],
+                           scratch[BRICK_DATA_ROWS, c + 2])
+                smx = Vec3(scratch[BRICK_DATA_ROWS, c + 3],
+                           scratch[BRICK_DATA_ROWS, c + 4],
+                           scratch[BRICK_DATA_ROWS, c + 5])
+                valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
+                anyhit = _slab_any(smn, smx, best[0]) & valid
+                best = lax.cond(
+                    anyhit,
+                    lambda b: lax.fori_loop(s * SUB_PRIMS,
+                                            (s + 1) * SUB_PRIMS,
+                                            tri_body, b),
+                    lambda b: b, best)
+                chunks = chunks + jnp.where(anyhit, 1, 0).astype(jnp.int32)
+                return (chunks,) + best
+
+            return lax.fori_loop(0, NUM_SUBS, sub_body, st)
+
+        # Near-child-first DEPTH-ORDERED walk with a scalar SMEM stack
+        # (the reference orders children by hit distance too,
+        # scene.h:278-297).  A plain skip-link sweep visits bricks in
+        # Morton order, so best-t barely prunes; visiting the packet's
+        # near subtree first tightens best-t early and culls far
+        # subtrees at their single visit-time box test.  Children are
+        # ordered by box-center projection onto the packet's mean
+        # direction — scalar reads only, no extra vector tests.
+        mdx = jnp.sum(jnp.where(active, dirn.x, 0.0))
+        mdy = jnp.sum(jnp.where(active, dirn.y, 0.0))
+        mdz = jnp.sum(jnp.where(active, dirn.z, 0.0))
+
+        def _center_key(n):
+            br, bc = n // 16, (n % 16) * 8
+            cxk = (boxes_ref[br, bc] + boxes_ref[br, bc + 3])
+            cyk = (boxes_ref[br, bc + 1] + boxes_ref[br, bc + 4])
+            czk = (boxes_ref[br, bc + 2] + boxes_ref[br, bc + 5])
+            return cxk * mdx + cyk * mdy + czk * mdz
+
+        stack_ref[0] = jnp.int32(0)
+
+        def cond(st):
+            return st[0] > 0
+
+        def body(st):
+            sp, nodes, bricks, chunks = st[0] - 1, st[1], st[2], st[3]
+            best = st[4:]
+            n = stack_ref[sp]
+            # 128-wide SMEM packing (models/bricks.py field docs)
+            br, bc = n // 16, (n % 16) * 8
+            bmin = Vec3(boxes_ref[br, bc], boxes_ref[br, bc + 1],
+                        boxes_ref[br, bc + 2])
+            bmax = Vec3(boxes_ref[br, bc + 3], boxes_ref[br, bc + 4],
+                        boxes_ref[br, bc + 5])
+            lr, lc = n // 64, (n % 64) * 2
+            brick = links_ref[lr, lc + 1]
+
+            anyhit = _slab_any(bmin, bmax, best[0])
+            process = anyhit & (brick >= 0)
+            descend = anyhit & (brick < 0)
+
+            @pl.when(process)
+            def _():
+                dma = pltpu.make_async_copy(bricks_ref.at[brick],
+                                            scratch, sem)
+                dma.start()
+                dma.wait()
+
+            cs = lax.cond(process, process_brick,
+                          lambda s: s, (chunks,) + best)
+            chunks, best = cs[0], cs[1:]
+
+            @pl.when(descend)
+            def _():
+                left = n + 1
+                right = links_ref[left // 64, (left % 64) * 2]  # skip(l)
+                lkey = _center_key(left)
+                rkey = _center_key(right)
+                near = jnp.where(lkey <= rkey, left, right)
+                far = jnp.where(lkey <= rkey, right, left)
+                stack_ref[sp] = far
+                stack_ref[sp + 1] = near   # popped first
+
+            sp = jnp.where(descend, sp + 2, sp)
+            nodes = nodes + 1
+            bricks = bricks + jnp.where(process, 1, 0).astype(jnp.int32)
+            return (sp, nodes, bricks, chunks) + best
+
+        zi = jnp.int32(0)
+        st = lax.while_loop(cond, body,
+                            (jnp.int32(1), zi, zi, zi) + best)
+        (t, nx, ny, nz, px, py, pz, mt, ar, ag, ab, mp,
+         er, eg, eb, em) = st[4:]
+        out = (t, Vec3(nx, ny, nz), Vec3(px, py, pz), mt,
+               Vec3(ar, ag, ab), mp, Vec3(er, eg, eb), em)
+        if collect_stats:
+            return out + ((st[1], st[2], st[3]),)
+        return out
+
+    return intersect
+
+
 def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
                        num_samples: int, seed: int, max_depth: int,
                        block_rows: int, rr_start_depth: int):
     def kernel(cam_ref, bg_ref, meta_ref, sph_ref, boxes_ref, links_ref,
                bricks_ref, outr_ref, outg_ref, outb_ref, scratch, stack_ref,
                sem):
-        def intersect(org, dirn, tnear, shape, active):
-            zero = jnp.zeros(shape, jnp.float32)
-            best = (jnp.full(shape, INF, jnp.float32),) + (zero,) * 15
-
-            # -- resident spheres (megakernel sphere_body semantics)
-            def sphere_body(k, best):
-                c = _svec(sph_ref, k, 1)
-                r = _scalar(sph_ref, k, 4)
-                bt = best[0]
-                t, hit = _sphere_test(c, r, org, dirn, tnear, bt)
-                closer = hit & (t < bt)
-                pos = Vec3(org.x + dirn.x * t, org.y + dirn.y * t,
-                           org.z + dirn.z * t)
-                ns = Vec3(pos.x - c.x, pos.y - c.y, pos.z - c.z)
-                attrs = tuple(_scalar(sph_ref, k, j)
-                              for j in (19, 20, 21, 22, 23, 24, 25, 26, 27))
-                return _select16(best, closer, t, ns, pos, attrs)
-
-            if S > 0:
-                best = lax.fori_loop(0, S, sphere_body, best)
-
-            # -- packet walk of the SMEM brick tree
-            # per-axis safe reciprocal (slab test semantics match
-            # geometry.slab_test: +/-inf propagates correctly)
-            inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
-
-            def _slab_any(bmin, bmax, t_best):
-                """Packet slab test vs a scalar AABB -> (vector mask
-                reduced with the live-lane mask, scalar any-hit)."""
-                tx0 = (bmin.x - org.x) * inv.x
-                tx1 = (bmax.x - org.x) * inv.x
-                ty0 = (bmin.y - org.y) * inv.y
-                ty1 = (bmax.y - org.y) * inv.y
-                tz0 = (bmin.z - org.z) * inv.z
-                tz1 = (bmax.z - org.z) * inv.z
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                             jnp.minimum(ty0, ty1)),
-                                 jnp.minimum(tz0, tz1))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                             jnp.maximum(ty0, ty1)),
-                                 jnp.maximum(tz0, tz1))
-                hitm = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
-                        & active)
-                return jnp.any(hitm)
-
-            def process_brick(best):
-                def tri_body(k, best):
-                    return _tri_record_body(
-                        lambda kk, j: _brick_svec(scratch, kk, j),
-                        lambda kk, j: _brick_scalar(scratch, kk, j),
-                        k, best, org, dirn, tnear)
-
-                def sub_body(s, best):
-                    c = s * 8
-                    smn = Vec3(scratch[BRICK_DATA_ROWS, c],
-                               scratch[BRICK_DATA_ROWS, c + 1],
-                               scratch[BRICK_DATA_ROWS, c + 2])
-                    smx = Vec3(scratch[BRICK_DATA_ROWS, c + 3],
-                               scratch[BRICK_DATA_ROWS, c + 4],
-                               scratch[BRICK_DATA_ROWS, c + 5])
-                    valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
-                    anyhit = _slab_any(smn, smx, best[0]) & valid
-                    return lax.cond(
-                        anyhit,
-                        lambda b: lax.fori_loop(s * SUB_PRIMS,
-                                                (s + 1) * SUB_PRIMS,
-                                                tri_body, b),
-                        lambda b: b, best)
-
-                return lax.fori_loop(0, NUM_SUBS, sub_body, best)
-
-            # Near-child-first DEPTH-ORDERED walk with a scalar SMEM stack
-            # (the reference orders children by hit distance too,
-            # scene.h:278-297).  A plain skip-link sweep visits bricks in
-            # Morton order, so best-t barely prunes; visiting the packet's
-            # near subtree first tightens best-t early and culls far
-            # subtrees at their single visit-time box test.  Children are
-            # ordered by box-center projection onto the packet's mean
-            # direction — scalar reads only, no extra vector tests.
-            mdx = jnp.sum(jnp.where(active, dirn.x, 0.0))
-            mdy = jnp.sum(jnp.where(active, dirn.y, 0.0))
-            mdz = jnp.sum(jnp.where(active, dirn.z, 0.0))
-
-            def _center_key(n):
-                br, bc = n // 16, (n % 16) * 8
-                cxk = (boxes_ref[br, bc] + boxes_ref[br, bc + 3])
-                cyk = (boxes_ref[br, bc + 1] + boxes_ref[br, bc + 4])
-                czk = (boxes_ref[br, bc + 2] + boxes_ref[br, bc + 5])
-                return cxk * mdx + cyk * mdy + czk * mdz
-
-            stack_ref[0] = jnp.int32(0)
-
-            def cond(st):
-                return st[0] > 0
-
-            def body(st):
-                sp = st[0] - 1
-                best = st[1:]
-                n = stack_ref[sp]
-                # 128-wide SMEM packing (models/bricks.py field docs)
-                br, bc = n // 16, (n % 16) * 8
-                bmin = Vec3(boxes_ref[br, bc], boxes_ref[br, bc + 1],
-                            boxes_ref[br, bc + 2])
-                bmax = Vec3(boxes_ref[br, bc + 3], boxes_ref[br, bc + 4],
-                            boxes_ref[br, bc + 5])
-                lr, lc = n // 64, (n % 64) * 2
-                brick = links_ref[lr, lc + 1]
-
-                anyhit = _slab_any(bmin, bmax, best[0])
-                process = anyhit & (brick >= 0)
-                descend = anyhit & (brick < 0)
-
-                @pl.when(process)
-                def _():
-                    dma = pltpu.make_async_copy(bricks_ref.at[brick],
-                                                scratch, sem)
-                    dma.start()
-                    dma.wait()
-
-                best = lax.cond(process, process_brick, lambda b: b, best)
-
-                @pl.when(descend)
-                def _():
-                    left = n + 1
-                    right = links_ref[left // 64, (left % 64) * 2]  # skip(l)
-                    lkey = _center_key(left)
-                    rkey = _center_key(right)
-                    near = jnp.where(lkey <= rkey, left, right)
-                    far = jnp.where(lkey <= rkey, right, left)
-                    stack_ref[sp] = far
-                    stack_ref[sp + 1] = near   # popped first
-
-                sp = jnp.where(descend, sp + 2, sp)
-                return (sp,) + best
-
-            st = lax.while_loop(cond, body,
-                                (jnp.int32(1),) + best)
-            (t, nx, ny, nz, px, py, pz, mt, ar, ag, ab, mp,
-             er, eg, eb, em) = st[1:]
-            return (t, Vec3(nx, ny, nz), Vec3(px, py, pz), mt,
-                    Vec3(ar, ag, ab), mp, Vec3(er, eg, eb), em)
-
+        intersect = make_brick_intersect(sph_ref, boxes_ref, links_ref,
+                                         bricks_ref, scratch, stack_ref,
+                                         sem, S)
         body = make_persistent_kernel(width, height, num_samples, seed,
                                       max_depth, block_rows, intersect,
                                       tile=TILE, rr_start_depth=rr_start_depth)
@@ -264,27 +295,25 @@ def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "S", "Ntop", "interpret",
-                                   "rr_start_depth"))
-def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
-                   sample_start, width: int, height: int, num_samples: int,
-                   seed: int, max_depth: int, S: int, Ntop: int,
-                   interpret: bool = False,
-                   rr_start_depth: int = 5):
+def render_blocks_bricks(sph_rows, top_boxes, top_links, brick_data,
+                         cam_data, bg, sample_start, blk0, num_real,
+                         width: int, height: int, n_blocks: int,
+                         num_samples: int, seed: int, max_depth: int,
+                         S: int, Ntop: int, interpret: bool = False,
+                         rr_start_depth: int = 5):
+    """Render tile-blocks [blk0, blk0 + n_blocks) of the TILE grid — the
+    unit multi-chip sharding partitions (parallel/sharding.py).  Returns
+    (r, g, b) each [n_blocks * BLOCK_ROWS, LANES] in tile-swizzled order
+    (un-permute with tile_permutation)."""
     # f32 pixel-index reconstruction in the kernel is exact only below 2^24
     assert width * height < 2 ** 24, (
         "brick tracer pixel indices ride f32; use the XLA path above 16.7M px")
-    R = width * height
-    n_blocks = tile_grid(width, height, TILE)
+    from .megakernel import pack_meta
     rows_pad = n_blocks * BLOCK_ROWS
-    perm = jnp.asarray(tile_permutation(width, height, BLOCK_ROWS, TILE))
-
     cam = jnp.zeros((1, 12), jnp.float32).at[0].set(
         cam_data.reshape(12).astype(jnp.float32))
     bg_arr = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(bg)
-    meta = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(
-        jnp.asarray(sample_start, jnp.int32))
+    meta = pack_meta(sample_start, blk0, num_real)
 
     kernel = _make_brick_kernel(width, height, S, Ntop, num_samples, seed,
                                 max_depth, BLOCK_ROWS, rr_start_depth)
@@ -293,7 +322,7 @@ def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
                                     memory_space=pltpu.SMEM)
     outspec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    r, g, b = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[smem((1, 12)), smem((1, 4)), smem((1, 4)),
@@ -307,6 +336,23 @@ def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(cam, bg_arr, meta, sph_rows, top_boxes, top_links, brick_data)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "S", "Ntop", "interpret",
+                                   "rr_start_depth"))
+def _render_bricks(sph_rows, top_boxes, top_links, brick_data, cam_data, bg,
+                   sample_start, width: int, height: int, num_samples: int,
+                   seed: int, max_depth: int, S: int, Ntop: int,
+                   interpret: bool = False,
+                   rr_start_depth: int = 5):
+    n_blocks = tile_grid(width, height, TILE)
+    perm = jnp.asarray(tile_permutation(width, height, BLOCK_ROWS, TILE))
+    r, g, b = render_blocks_bricks(sph_rows, top_boxes, top_links,
+                                   brick_data, cam_data, bg, sample_start,
+                                   0, -1, width, height, n_blocks,
+                                   num_samples, seed, max_depth, S, Ntop,
+                                   interpret, rr_start_depth)
     img = jnp.stack([r.reshape(-1)[perm], g.reshape(-1)[perm],
                      b.reshape(-1)[perm]], axis=-1)
     return img.reshape(height, width, 3)

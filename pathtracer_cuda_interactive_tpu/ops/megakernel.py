@@ -174,7 +174,11 @@ def make_persistent_kernel(width: int, height: int, num_samples: int,
 
     def kernel_body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref,
                     outb_ref):
-        blk = pl.program_id(0)
+        # meta: [0,0] sample_start, [0,1] block offset (multi-chip sharding
+        # renders a RANGE of grid blocks per chip — parallel/sharding.py),
+        # [0,2] real pass count (sample-sharded chips run the same static
+        # num_samples but only bank the first num_real; -1 means "all").
+        blk = pl.program_id(0) + meta_ref[0, 1]
         rowid = lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 0)
         laneid = lax.broadcasted_iota(jnp.int32, (block_rows, LANES), 1)
         shape = rowid.shape
@@ -230,7 +234,9 @@ def make_persistent_kernel(width: int, height: int, num_samples: int,
         # Carried masks/counters ride as f32 (bool vectors crossing the
         # while-region boundary hit Mosaic's unsupported i8->i1 trunc; the
         # counters stay < 2^24 so f32 is exact).
-        nsf = float(num_samples)
+        num_real = meta_ref[0, 2]
+        nsf = jnp.where(num_real >= 0, num_real,
+                        jnp.int32(num_samples)).astype(jnp.float32)
 
         def cond(st):
             active_f, s = st[0], st[1]
@@ -409,26 +415,38 @@ def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
-                                   "max_depth", "S", "F", "interpret",
-                                   "rr_start_depth"))
-def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
-                   height: int, num_samples: int, seed: int, max_depth: int,
-                   S: int, F: int, interpret: bool = False,
-                   rr_start_depth: int = RR_START_DEPTH):
+def pack_meta(sample_start, blk0=0, num_real=-1):
+    """[1,4] i32 SMEM meta row shared by the Pallas render kernels:
+    sample_start, block offset, real-pass count (-1 = all)."""
+    return (jnp.zeros((1, 4), jnp.int32)
+            .at[0, 0].set(jnp.asarray(sample_start, jnp.int32))
+            .at[0, 1].set(jnp.asarray(blk0, jnp.int32))
+            .at[0, 2].set(jnp.asarray(num_real, jnp.int32)))
+
+
+def megakernel_total_blocks(width: int, height: int) -> int:
+    return -(-(-(-(width * height) // LANES)) // BLOCK_ROWS)
+
+
+def render_blocks_pallas(prim_rows, cam_data, bg, sample_start, blk0,
+                         num_real, width: int, height: int,
+                         n_blocks: int, num_samples: int, seed: int,
+                         max_depth: int, S: int, F: int,
+                         interpret: bool = False,
+                         rr_start_depth: int = RR_START_DEPTH):
+    """Render grid blocks [blk0, blk0 + n_blocks) of the flat pixel space —
+    the unit multi-chip sharding partitions (each chip renders its own
+    block range; parallel/sharding.py).  Returns (r, g, b) each
+    [n_blocks * BLOCK_ROWS, LANES]: the radiance sums of the first
+    ``num_real`` (0 = num_samples) of ``num_samples`` passes."""
     # f32 pixel-index reconstruction in the kernel is exact only below 2^24
     assert width * height < 2 ** 24, (
         "megakernel pixel indices ride f32; use the XLA path above 16.7M px")
-    R = width * height
-    rows_total = -(-R // LANES)
-    n_blocks = -(-rows_total // BLOCK_ROWS)
     rows_pad = n_blocks * BLOCK_ROWS
-
     cam = jnp.zeros((1, 12), jnp.float32).at[0].set(
         cam_data.reshape(12).astype(jnp.float32))
     bg_arr = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(bg)
-    meta = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(
-        jnp.asarray(sample_start, jnp.int32))
+    meta = pack_meta(sample_start, blk0, num_real)
 
     kernel = _make_kernel(width, height, S, F, num_samples, seed, max_depth,
                           BLOCK_ROWS, rr_start_depth)
@@ -437,7 +455,7 @@ def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
                                     memory_space=pltpu.SMEM)
     outspec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    r, g, b = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[smem((1, 12)), smem((1, 4)), smem((1, 4)),
@@ -446,6 +464,21 @@ def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
     )(cam, bg_arr, meta, prim_rows)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "S", "F", "interpret",
+                                   "rr_start_depth"))
+def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
+                   height: int, num_samples: int, seed: int, max_depth: int,
+                   S: int, F: int, interpret: bool = False,
+                   rr_start_depth: int = RR_START_DEPTH):
+    R = width * height
+    n_blocks = megakernel_total_blocks(width, height)
+    r, g, b = render_blocks_pallas(prim_rows, cam_data, bg, sample_start,
+                                   0, -1, width, height, n_blocks,
+                                   num_samples, seed, max_depth, S, F,
+                                   interpret, rr_start_depth)
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)],
                     axis=-1)[:R]
     return img.reshape(height, width, 3)

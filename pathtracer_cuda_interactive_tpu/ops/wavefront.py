@@ -1,0 +1,371 @@
+"""Sorted-wavefront brick tracer: bounce-synchronous re-packetization.
+
+The persistent-lane brick kernel (ops/brickkernel.py) keeps every ray in
+the packet it was born in; after one diffuse bounce a 2048-lane packet's
+rays point everywhere and the packet pays the traversal UNION of all of
+them — the lockstep-divergence failure mode that makes full-depth bunny
+~100x slower than primary-only (SURVEY.md §7 hard part 1).
+
+This module restructures the same computation the TPU way: bounces become
+synchronous WAVES over the whole frame's rays, and between waves the rays
+are re-sorted so each [WAVE_ROWS, 128] packet is spatially/directionally
+coherent again:
+
+  wave 0   camera rays in 64x32 screen tiles (already coherent; no sort)
+  wave b   one fused ``lax.sort`` of the live-ray SoA by a coherence key
+           (Morton code of the ray origin over the scene box, with the
+           direction octant in the low bits; dead rays sort to the end so
+           trailing packets are all-dead and their tree walk exits at the
+           root test) ... then one grid launch of the one-bounce Pallas
+           trace kernel (the brickkernel intersector minus the bounce
+           state machine), then fully-vectorized XLA shading/BRDF
+           sampling/Russian roulette (ops/brdf.py — the same code path the
+           oracle integrator uses).
+
+The sort is the whole trick, and on TPU it is nearly free: ``lax.sort`` of
+614k keys + 14 payload columns measures ~0.1 ms on v5e
+(tools/microbench_sort.py) versus multiple ms per bounce of packet-union
+traversal that it saves.  Radiance lands in per-ray ``L`` and one final
+``segment_sum`` scatters it to pixels, so pixel indices ride i32 the whole
+way (no f32 2^24 limit on this path).
+
+Semantics: radiance.cuh:21-79 bounce logic, same PCG streams per
+(pixel, sample) as ops/integrator.py (2 camera jitter + 3 BSDF + 1 RR per
+bounce), so images agree with the oracle XLA path within intersection-order
+noise; tests/test_wavefront.py asserts it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.bricks import BRICK_ROWS, STACK_DEPTH, BrickSet
+from . import brdf, rng
+from .brickkernel import make_brick_intersect
+from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
+from .megakernel import tile_grid
+from .vec import Vec3, dot, max_elem, normalize, where
+
+# Rays per packet row-block: [WAVE_ROWS, 128] rays share one tree walk.
+WAVE_ROWS = 16
+TILE = (64, 32)              # primary-wave screen tile (WAVE_ROWS*128 px)
+INF = float("inf")
+# Cap on rays per wavefront launch; sample batches beyond this render in
+# chunks (keeps the 17-column live SoA + sort double buffer under ~300 MB).
+MAX_RAYS_PER_WAVE = 1 << 21
+
+
+def _make_trace_kernel(S: int, collect_stats: bool = False):
+    """One-bounce closest-hit kernel: packet of [WAVE_ROWS, 128] rays in,
+    16 hit-record channels out (the _select16 tuple of brickkernel).
+    With ``collect_stats``, a 17th channel carries per-packet traversal
+    counters (row 0 = nodes stepped, row 1 = bricks DMA'd, row 2 = chunks
+    tested — broadcast across lanes)."""
+
+    def kernel(sph_ref, boxes_ref, links_ref, tn_ref, ox, oy, oz,
+               dx, dy, dz, act, bricks_ref, *outs):
+        n_out = 17 if collect_stats else 16
+        scratch, stack_ref, sem = outs[n_out:]
+        intersect = make_brick_intersect(sph_ref, boxes_ref, links_ref,
+                                         bricks_ref, scratch, stack_ref,
+                                         sem, S, collect_stats=collect_stats)
+        org = Vec3(ox[:], oy[:], oz[:])
+        dirn = Vec3(dx[:], dy[:], dz[:])
+        shape = org.x.shape
+        active = act[:] > 0.0
+        tnear = jnp.full(shape, tn_ref[0, 0])
+        rec = intersect(org, dirn, tnear, shape, active)
+        (t, ns, pos, mt, alb, mp, em, emit) = rec[:8]
+        vals = (t, ns.x, ns.y, ns.z, pos.x, pos.y, pos.z, mt,
+                alb.x, alb.y, alb.z, mp, em.x, em.y, em.z, emit)
+        for ref, v in zip(outs[:16], vals):
+            ref[:] = v
+        if collect_stats:
+            nodes, bricks, chunks = rec[8]
+            rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            sv = jnp.where(rid == 0, nodes.astype(jnp.float32),
+                           jnp.where(rid == 1, bricks.astype(jnp.float32),
+                                     jnp.where(rid == 2,
+                                               chunks.astype(jnp.float32),
+                                               0.0)))
+            outs[16][:] = sv
+
+    return kernel
+
+
+def _trace_wave(sph_rows, top_boxes, top_links, brick_data, tnear_scalar,
+                ox, oy, oz, dx, dy, dz, act, S: int,
+                interpret: bool = False, collect_stats: bool = False):
+    """Run the trace kernel over all packets of a wave.  Ray SoA arrays are
+    [rows, 128] with rows a multiple of WAVE_ROWS."""
+    rows = ox.shape[0]
+    n_blocks = rows // WAVE_ROWS
+    tn = jnp.full((1, 1), tnear_scalar, jnp.float32)
+
+    n_out = 17 if collect_stats else 16
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((WAVE_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+                      for _ in range(n_out))
+    kernel = _make_trace_kernel(S, collect_stats)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[smem(sph_rows.shape), smem(top_boxes.shape),
+                  smem(top_links.shape), smem((1, 1))]
+                 + [ray_spec] * 7
+                 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(ray_spec for _ in range(n_out)),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((BRICK_ROWS, 128), jnp.float32),
+                        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(sph_rows, top_boxes, top_links, tn, ox, oy, oz, dx, dy, dz, act,
+      brick_data)
+
+
+def _spread3(x):
+    """Interleave the low 10 bits of i32 x with two zero bits each."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _sort_key(org: Vec3, dirn: Vec3, active, lo, inv_extent):
+    """Coherence key: 21-bit Morton code of the ray origin (scene-box
+    normalized) in the high bits, direction octant in the low 3 — packets
+    get origin locality first, direction agreement second (the 'c+mort'
+    winner of tools/sim_wave.py).  Dead rays key to INT32_MAX and sink to
+    the tail of the sort."""
+    def q(c, l, s):
+        x = jnp.clip((c - l) * s * 127.0, 0.0, 127.0)
+        return x.astype(jnp.int32)
+
+    mx = _spread3(q(org.x, lo[0], inv_extent[0]))
+    my = _spread3(q(org.y, lo[1], inv_extent[1]))
+    mz = _spread3(q(org.z, lo[2], inv_extent[2]))
+    morton = (mx << 2) | (my << 1) | mz
+    octant = ((dirn.x > 0).astype(jnp.int32) * 4
+              + (dirn.y > 0).astype(jnp.int32) * 2
+              + (dirn.z > 0).astype(jnp.int32))
+    key = (morton << 3) | octant
+    return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
+
+
+def _shade(rec, org, dirn, T, L, active, state, depth, bg,
+           rr_start_depth: int, max_depth: int):
+    """One bounce of the radiance.cuh:21-79 state machine, given the trace
+    kernel's 16-channel hit record.  Pure vectorized XLA (same brdf module
+    as the oracle integrator).  Returns the advanced ray state."""
+    (t, nsx, nsy, nsz, px, py, pz, mt, ar, ag, ab, mp,
+     er, eg, eb, em) = rec
+    zero = Vec3.zeros(t.shape)
+    miss = t == INF
+    take_bg = active & miss
+    L = L + where(take_bg, T * bg, zero)
+    active = active & ~miss
+
+    ns = normalize(Vec3(nsx, nsy, nsz))
+    wi = -dirn
+    cos_view = dot(wi, ns)
+
+    front_emit = active & (em > 0.0) & (cos_view > 0.0)
+    L = L + where(front_emit, T * Vec3(er, eg, eb), zero)
+
+    n = where(cos_view < 0.0, -ns, ns)
+
+    state, u1 = rng.next_uniform(state)
+    state, u2 = rng.next_uniform(state)
+    state, u3 = rng.next_uniform(state)
+    mat = brdf.MatLookup(mtype=mt, color=Vec3(ar, ag, ab), param=mp)
+    wo, is_spec, weight = brdf.sample_brdf_from_uniforms(mat, n, wi,
+                                                         u1, u2, u3)
+    ev_value, ev_pdf = brdf.eval_brdf(mat, n, wi, wo)
+
+    ok_spec = max_elem(weight) > 0.0
+    ok_scatter = (max_elem(ev_value) > 0.0) & (ev_pdf > 0.0)
+    pdf_safe = jnp.where(ev_pdf > 0.0, ev_pdf, 1.0)
+    contrib = where(is_spec, weight, ev_value * (1.0 / pdf_safe))
+    ok = jnp.where(is_spec, ok_spec, ok_scatter)
+
+    upd = active & ok
+    T = where(upd, T * contrib, T)
+    active = active & ok
+
+    org = where(active, Vec3(px, py, pz), org)
+    dirn = where(active, wo, dirn)
+
+    state, ru = rng.next_uniform(state)
+    rr_on = depth > rr_start_depth
+    p = jnp.maximum(0.5, 1.0 - max_elem(T))
+    kill = rr_on & (ru < p)
+    scale = 1.0 / jnp.where(rr_on & ~kill & (p < 1.0), 1.0 - p, 1.0)
+    T = where(active & rr_on & ~kill, T * scale, T)
+    active = active & ~kill
+
+    active = active & (depth + 1 < max_depth)
+    return org, dirn, T, L, active, state
+
+
+def _wave_layout(width: int, height: int):
+    """Static slot -> pixel map: each [WAVE_ROWS,128] packet covers one
+    compact TILE screen tile (same swizzle as the brick kernel).  Padding
+    slots (off-image) get pixel id R = width*height."""
+    tw, th = TILE
+    n_blocks = tile_grid(width, height, TILE)
+    tiles_x = -(-width // tw)
+    blk = np.arange(n_blocks)[:, None, None]
+    rowid = np.arange(WAVE_ROWS)[None, :, None]
+    laneid = np.arange(LANES)[None, None, :]
+    ii = (blk % tiles_x) * tw + laneid % tw
+    jj = (blk // tiles_x) * th + rowid * (LANES // tw) + laneid // tw
+    valid = (ii < width) & (jj < height)
+    pix = np.where(valid, jj * width + ii, width * height)
+    return pix.reshape(-1).astype(np.int32), n_blocks
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "S", "interpret",
+                                   "rr_start_depth", "sort_mode"))
+def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
+                      bg, scene_lo, scene_inv, pix_slots, sample_start,
+                      width: int, height: int, num_samples: int, seed: int,
+                      max_depth: int, S: int, interpret: bool = False,
+                      rr_start_depth: int = RR_START_DEPTH,
+                      sort_mode: str = "mort_oct", num_real=None):
+    R = width * height
+    n_slots = pix_slots.shape[0]
+    bg3 = Vec3(bg[0], bg[1], bg[2])
+
+    # rays = all samples of this launch over all slots, packet-major
+    pix = jnp.tile(pix_slots, num_samples)
+    samp = jnp.repeat(jnp.arange(num_samples, dtype=jnp.uint32), n_slots)
+    rows = (n_slots * num_samples) // LANES
+    shape = (rows, LANES)
+    pix2 = pix.reshape(shape)
+    valid = pix2 < R
+    if num_real is not None:
+        # sample-sharded chips run the same static num_samples passes but
+        # only the first num_real are real (parallel/sharding.py)
+        valid = valid & (samp.reshape(shape) < num_real.astype(jnp.uint32))
+
+    state = rng.seed_rays(pix2.astype(jnp.uint32),
+                          sample_start + samp.reshape(shape), seed)
+    state, u1 = rng.next_uniform(state)
+    state, u2 = rng.next_uniform(state)
+    i = (pix2 % width).astype(jnp.float32)
+    j = (pix2 // width).astype(jnp.float32)
+    u = (i + u1) / width
+    v = (j + u2) / height
+    org, dirn = camera_rays(cam_data, u, v)
+
+    T = Vec3.full(shape, (1.0, 1.0, 1.0))
+    L = Vec3.zeros(shape)
+    active = valid
+
+    def trace_shade(org, dirn, T, L, active, state, depth, tnear):
+        act_f = jnp.where(active, 1.0, 0.0)
+        rec = _trace_wave(sph_rows, top_boxes, top_links, brick_data,
+                          tnear, org.x, org.y, org.z,
+                          dirn.x, dirn.y, dirn.z, act_f, S,
+                          interpret=interpret)
+        return _shade(rec, org, dirn, T, L, active, state, depth, bg3,
+                      rr_start_depth, max_depth)
+
+    # wave 0: tile-coherent camera rays, no sort
+    org, dirn, T, L, active, state = trace_shade(
+        org, dirn, T, L, active, state, jnp.int32(0), 0.0)
+
+    # waves 1..max_depth-1: sort -> trace -> shade
+    def cond(st):
+        return jnp.any(st[0]) & (st[1] < max_depth)
+
+    def body(st):
+        (active, depth, ox, oy, oz, dx, dy, dz, Tx, Ty, Tz,
+         Lx, Ly, Lz, pixc, state) = st
+        org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+        if sort_mode != "none":
+            key = _sort_key(org, dirn, active, scene_lo, scene_inv)
+            flat = lambda a: a.reshape(-1)
+            cols = lax.sort(
+                (flat(key), flat(ox), flat(oy), flat(oz), flat(dx),
+                 flat(dy), flat(dz), flat(Tx), flat(Ty), flat(Tz),
+                 flat(Lx), flat(Ly), flat(Lz), flat(pixc), flat(state),
+                 flat(jnp.where(active, 1.0, 0.0))),
+                num_keys=1)
+            (ox, oy, oz, dx, dy, dz, Tx, Ty, Tz, Lx, Ly, Lz, pixc,
+             state, act_f) = (c.reshape(shape) for c in cols[1:])
+            org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+            active = act_f > 0.0
+        T, L = Vec3(Tx, Ty, Tz), Vec3(Lx, Ly, Lz)
+        org, dirn, T, L, active, state = trace_shade(
+            org, dirn, T, L, active, state, depth, SECONDARY_TNEAR)
+        return (active, depth + 1, org.x, org.y, org.z,
+                dirn.x, dirn.y, dirn.z, T.x, T.y, T.z, L.x, L.y, L.z,
+                pixc, state)
+
+    st = (active, jnp.int32(1), org.x, org.y, org.z, dirn.x, dirn.y,
+          dirn.z, T.x, T.y, T.z, L.x, L.y, L.z, pix2, state)
+    st = lax.while_loop(cond, body, st)
+    Lx, Ly, Lz, pixc = st[11], st[12], st[13], st[14]
+
+    img = jnp.stack([
+        jax.ops.segment_sum(c.reshape(-1), pixc.reshape(-1),
+                            num_segments=R + 1)[:R]
+        for c in (Lx, Ly, Lz)], axis=-1)
+    return img.reshape(height, width, 3)
+
+
+def camera_rays(cam_data, u, v):
+    from .camera import generate_primary_rays
+    return generate_primary_rays(cam_data, u, v)
+
+
+def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
+                             height: int, sample_start,
+                             num_samples: int = 1, seed: int = 1984,
+                             max_depth: int = MAX_DEPTH,
+                             interpret: bool = False,
+                             rr_start_depth: int = RR_START_DEPTH,
+                             sort_mode: str = "mort_oct"):
+    """Large-scene drop-in for ops.integrator.render_samples: the radiance
+    SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
+    wave render in chunks (shapes stay static per chunk size)."""
+    bg = jnp.stack([jnp.asarray(brickset.bg_r), jnp.asarray(brickset.bg_g),
+                    jnp.asarray(brickset.bg_b)])
+    # scene box = top-tree root node (node 0: row 0, cols 0..5)
+    root = np.asarray(brickset.top_boxes[0, :6], np.float32)
+    lo, hi = root[:3], root[3:]
+    inv = 1.0 / np.maximum(hi - lo, 1e-12)
+    pix_slots, _ = _wave_layout(width, height)
+    n_slots = pix_slots.shape[0]
+
+    chunk = max(1, MAX_RAYS_PER_WAVE // n_slots)
+    acc = None
+    done = 0
+    while done < num_samples:
+        ns = min(chunk, num_samples - done)
+        out = _render_wavefront(
+            brickset.sph_rows, brickset.top_boxes, brickset.top_links,
+            brickset.brick_data, cam_data, bg, jnp.asarray(lo),
+            jnp.asarray(inv), jnp.asarray(pix_slots),
+            jnp.asarray(sample_start, jnp.uint32) + jnp.uint32(done),
+            width, height, ns, seed, max_depth, brickset.num_spheres,
+            interpret=interpret, rr_start_depth=rr_start_depth,
+            sort_mode=sort_mode)
+        acc = out if acc is None else acc + out
+        done += ns
+    return acc

@@ -97,20 +97,190 @@ def _render_sharded(scene, cam_data, pix, sample_start, width, height,
     return fn(scene, cam_data, pix, sample_start)
 
 
-def render_samples_sharded(scene: DeviceScene, cam_data, width: int,
+@partial(jax.jit,
+         static_argnames=("width", "height", "num_samples", "seed",
+                          "max_depth", "mesh", "interpret", "rr_start_depth"))
+def _render_sharded_megakernel(scene, cam_data, sample_start, width, height,
+                               num_samples, seed, max_depth, mesh,
+                               interpret=False, rr_start_depth=5):
+    """Tile+sample sharding of the Pallas megakernel: each chip renders its
+    own RANGE of grid blocks (bit-identical per pixel to the single-chip
+    kernel) and its slice of the sample batch; partial sums psum over the
+    sample axis and block rows concatenate over the tile axis."""
+    from ..ops.megakernel import (BLOCK_ROWS, megakernel_total_blocks,
+                                  render_blocks_pallas)
+    n_tiles = mesh.shape[TILE_AXIS]
+    ns_shard = mesh.shape[SAMPLE_AXIS]
+    ns_local = -(-num_samples // ns_shard)
+    total = megakernel_total_blocks(width, height)
+    total_pad = -(-total // n_tiles) * n_tiles
+    blocks_local = total_pad // n_tiles
+    bg = jnp.stack([jnp.asarray(scene.bg_r), jnp.asarray(scene.bg_g),
+                    jnp.asarray(scene.bg_b)])
+
+    def shard_fn(scene, cam_data, bg, sample_start):
+        t_idx = lax.axis_index(TILE_AXIS)
+        s_idx = lax.axis_index(SAMPLE_AXIS)
+        local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        r, g, b = render_blocks_pallas(
+            scene.prim_rows, cam_data, bg, local_start,
+            t_idx * blocks_local, num_real, width, height, blocks_local,
+            ns_local, seed, max_depth, scene.num_spheres,
+            scene.num_triangles, interpret, rr_start_depth)
+        return (lax.psum(r, SAMPLE_AXIS), lax.psum(g, SAMPLE_AXIS),
+                lax.psum(b, SAMPLE_AXIS))
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(), P()),
+                       out_specs=(P(TILE_AXIS, None),) * 3,
+                       check_vma=False)
+    r, g, b = fn(scene, cam_data, bg, sample_start)
+    R = width * height
+    img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)],
+                    axis=-1)[:R]
+    return img.reshape(height, width, 3)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "num_samples", "seed",
+                          "max_depth", "mesh", "interpret", "rr_start_depth"))
+def _render_sharded_bricks(bs, cam_data, sample_start, width, height,
+                           num_samples, seed, max_depth, mesh,
+                           interpret=False, rr_start_depth=5):
+    """Tile+sample sharding of the persistent brick tracer: each chip
+    renders its own range of 64x32 screen-tile blocks against the
+    replicated brick set."""
+    from ..ops.brickkernel import (BLOCK_ROWS, TILE, render_blocks_bricks,
+                                   tile_grid, tile_permutation)
+    n_tiles = mesh.shape[TILE_AXIS]
+    ns_shard = mesh.shape[SAMPLE_AXIS]
+    ns_local = -(-num_samples // ns_shard)
+    total = tile_grid(width, height, TILE)
+    total_pad = -(-total // n_tiles) * n_tiles
+    blocks_local = total_pad // n_tiles
+    bg = jnp.stack([jnp.asarray(bs.bg_r), jnp.asarray(bs.bg_g),
+                    jnp.asarray(bs.bg_b)])
+
+    def shard_fn(bs, cam_data, bg, sample_start):
+        t_idx = lax.axis_index(TILE_AXIS)
+        s_idx = lax.axis_index(SAMPLE_AXIS)
+        local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        r, g, b = render_blocks_bricks(
+            bs.sph_rows, bs.top_boxes, bs.top_links, bs.brick_data,
+            cam_data, bg, local_start, t_idx * blocks_local, num_real,
+            width, height, blocks_local, ns_local, seed, max_depth,
+            bs.num_spheres, bs.num_top, interpret, rr_start_depth)
+        return (lax.psum(r, SAMPLE_AXIS), lax.psum(g, SAMPLE_AXIS),
+                lax.psum(b, SAMPLE_AXIS))
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(), P()),
+                       out_specs=(P(TILE_AXIS, None),) * 3,
+                       check_vma=False)
+    r, g, b = fn(bs, cam_data, bg, sample_start)
+    R = width * height
+    perm = jnp.asarray(tile_permutation(width, height, BLOCK_ROWS, TILE))
+    img = jnp.stack([r.reshape(-1)[perm], g.reshape(-1)[perm],
+                     b.reshape(-1)[perm]], axis=-1)
+    return img.reshape(height, width, 3)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "num_samples", "seed",
+                          "max_depth", "mesh", "interpret", "rr_start_depth",
+                          "sort_mode"))
+def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
+                              sample_start, width, height, num_samples,
+                              seed, max_depth, mesh, interpret=False,
+                              rr_start_depth=5, sort_mode="mort_oct"):
+    """Tile+sample sharding of the sorted-wavefront tracer: the slot->pixel
+    map is sharded over tiles (each chip sorts and traces only its own
+    rays); per-chip partial images psum over both axes."""
+    from ..ops.wavefront import _render_wavefront
+    ns_shard = mesh.shape[SAMPLE_AXIS]
+    ns_local = -(-num_samples // ns_shard)
+    bg = jnp.stack([jnp.asarray(bs.bg_r), jnp.asarray(bs.bg_g),
+                    jnp.asarray(bs.bg_b)])
+
+    def shard_fn(bs, cam_data, pix_slots, scene_lo, scene_inv, bg,
+                 sample_start):
+        s_idx = lax.axis_index(SAMPLE_AXIS)
+        local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        img = _render_wavefront(
+            bs.sph_rows, bs.top_boxes, bs.top_links, bs.brick_data,
+            cam_data, bg, scene_lo, scene_inv, pix_slots, local_start,
+            width, height, ns_local, seed, max_depth, bs.num_spheres,
+            interpret=interpret, rr_start_depth=rr_start_depth,
+            sort_mode=sort_mode, num_real=num_real)
+        return lax.psum(img, (SAMPLE_AXIS, TILE_AXIS))
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(TILE_AXIS), P(), P(), P(), P()),
+                       out_specs=P(),
+                       check_vma=False)
+    return fn(bs, cam_data, pix_slots, scene_lo, scene_inv, bg,
+              sample_start)
+
+
+def render_samples_sharded(scene, cam_data, width: int,
                            height: int, sample_start, num_samples: int,
                            mesh: Mesh, seed: int = 1984,
-                           max_depth: int = MAX_DEPTH) -> jnp.ndarray:
-    """Sharded equivalent of ops.integrator.render_samples: returns the
-    [H, W, 3] radiance sum of EXACTLY ``num_samples`` passes, computed
-    across the mesh (per-chip pass counts ceil-round, but the surplus
-    passes are masked out of the sum)."""
+                           max_depth: int = MAX_DEPTH, mode: str = "xla",
+                           interpret: bool = False,
+                           rr_start_depth: int = 5,
+                           sort_mode: str = "mort_oct") -> jnp.ndarray:
+    """Sharded render dispatch: returns the [H, W, 3] radiance sum of
+    EXACTLY ``num_samples`` passes, computed across the mesh (per-chip pass
+    counts ceil-round, but the surplus passes are masked out of the sum).
+
+    ``mode`` picks the per-chip compute path — the same three the
+    single-chip renderer dispatches (render/renderer.py::_render_mode):
+      * "xla"        — oracle integrator (DeviceScene)
+      * "megakernel" — resident-SMEM Pallas kernel (DeviceScene, small)
+      * "bricks"     — persistent-lane brick tracer (BrickSet)
+      * "wavefront"  — sorted-wavefront brick tracer (BrickSet)
+    ``interpret=True`` runs the Pallas paths in interpreter mode (CPU mesh
+    tests)."""
+    start = jnp.asarray(sample_start, jnp.uint32)
+    if mode == "megakernel":
+        return _render_sharded_megakernel(
+            scene, cam_data, start, width, height, num_samples, seed,
+            max_depth, mesh, interpret, rr_start_depth)
+    if mode == "bricks":
+        return _render_sharded_bricks(
+            scene, cam_data, start, width, height, num_samples, seed,
+            max_depth, mesh, interpret, rr_start_depth)
+    if mode == "wavefront":
+        from ..ops.wavefront import _wave_layout
+        import numpy as _np
+        root = _np.asarray(scene.top_boxes[0, :6], _np.float32)
+        lo, hi = root[:3], root[3:]
+        inv = 1.0 / _np.maximum(hi - lo, 1e-12)
+        pix_slots, n_blocks = _wave_layout(width, height)
+        n_tiles = mesh.shape[TILE_AXIS]
+        if n_blocks % n_tiles:
+            # pad the slot map so tile shards split evenly; extra slots are
+            # off-image (pixel id R) and never activate
+            from ..ops.wavefront import WAVE_ROWS
+            pad_blocks = (-(-n_blocks // n_tiles) * n_tiles) - n_blocks
+            pad = _np.full(pad_blocks * WAVE_ROWS * LANES,
+                           width * height, _np.int32)
+            pix_slots = _np.concatenate([pix_slots, pad])
+        slots = jax.device_put(jnp.asarray(pix_slots),
+                               NamedSharding(mesh, P(TILE_AXIS)))
+        return _render_sharded_wavefront(
+            scene, cam_data, slots, jnp.asarray(lo), jnp.asarray(inv),
+            start, width, height, num_samples, seed, max_depth, mesh,
+            interpret, rr_start_depth, sort_mode)
+
     n_tiles = mesh.shape[TILE_AXIS]
     pix, rows = _padded_grid(width, height, n_tiles)
     pix_sharded = jax.device_put(
         jnp.asarray(pix), NamedSharding(mesh, P(TILE_AXIS, None)))
-    acc = _render_sharded(scene, cam_data, pix_sharded,
-                          jnp.asarray(sample_start, jnp.uint32),
+    acc = _render_sharded(scene, cam_data, pix_sharded, start,
                           width, height, num_samples, seed, max_depth, mesh)
     acc = acc.reshape(rows * LANES, 3)[:width * height]
     return acc.reshape(height, width, 3)
@@ -132,12 +302,14 @@ def scaling_report(width: int = 640, height: int = 480,
     import time
 
     def run(mesh):
-        out = render_samples_sharded(scene, cam_data, width, height,
+        scene_m = replicate_scene(scene, mesh)
+        cam_m = jax.device_put(cam_data, NamedSharding(mesh, P()))
+        out = render_samples_sharded(scene_m, cam_m, width, height,
                                      jnp.uint32(0), num_samples, mesh)
         out.block_until_ready()
         t0 = time.perf_counter()
         for k in range(repeats):
-            out = render_samples_sharded(scene, cam_data, width, height,
+            out = render_samples_sharded(scene_m, cam_m, width, height,
                                          jnp.uint32(k + 1), num_samples,
                                          mesh)
         out.block_until_ready()

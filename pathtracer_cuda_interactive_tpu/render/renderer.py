@@ -25,6 +25,7 @@ from ..models.bricks import BrickSet
 from ..models.device_scene import DeviceScene
 from ..models.scenepack import ScenePack, load_scene
 from ..ops.brickkernel import render_samples_bricks
+from ..ops.wavefront import render_samples_wavefront
 from ..ops.camera import Camera, camera_ray_data
 from ..ops.integrator import MAX_DEPTH, render_samples
 from ..ops.megakernel import MEGAKERNEL_MAX_PRIMS, render_samples_pallas
@@ -32,26 +33,31 @@ from ..utils import image as img_util
 from ..utils.config import RenderConfig, setup_jax
 
 
-def _render_mode(pack, width: int, height: int) -> str:
-    """Static dispatch between the three compute paths:
+def _render_mode(pack, width: int, height: int,
+                 large_scene_mode: str = "wavefront") -> str:
+    """Static dispatch between the compute paths:
       * "megakernel" — small scenes, resident-SMEM Pallas kernel
-      * "bricks"     — large triangle scenes, Pallas brick tracer
+      * "wavefront"  — large triangle scenes, sorted-wavefront brick tracer
+      * "bricks"     — same scenes, persistent-lane brick tracer (opt-in
+                       via RenderConfig.large_scene_mode)
       * "xla"        — CPU test platform (Mosaic only targets TPU) and the
                        rare large sphere-only scene
 
     Accepts a ScenePack, a DeviceScene (has the same count attributes) or a
-    prebuilt BrickSet (pins the brick path — it has no prim counts).
+    prebuilt BrickSet (pins the large-scene path — it has no prim counts).
     """
     if isinstance(pack, BrickSet):
-        return "bricks"
+        return large_scene_mode
     if jax.default_backend() in ("cpu", "gpu"):
         return "xla"
-    if width * height >= 2 ** 24:
-        return "xla"   # Pallas paths reconstruct pixel indices in f32
+    if width * height >= 2 ** 24 and large_scene_mode != "wavefront":
+        return "xla"   # megakernel/bricks reconstruct pixel indices in f32
     if pack.num_prims <= MEGAKERNEL_MAX_PRIMS:
+        if width * height >= 2 ** 24:
+            return "xla"
         return "megakernel"
     if pack.num_triangles > 0 and pack.num_spheres <= MEGAKERNEL_MAX_PRIMS:
-        return "bricks"
+        return large_scene_mode
     return "xla"
 
 
@@ -67,6 +73,11 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
                                     max_depth, rr_start_depth=rr_start_depth)
+    elif mode == "wavefront":
+        new = render_samples_wavefront(scene, cam_data, width, height,
+                                       sample_start, num_samples, seed,
+                                       max_depth,
+                                       rr_start_depth=rr_start_depth)
     elif mode == "bricks":
         new = render_samples_bricks(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -85,15 +96,17 @@ class ProgressiveRenderer:
     def __init__(self, scene: ScenePack, camera: Camera, width: int,
                  height: int, config: RenderConfig = RenderConfig()):
         setup_jax()
-        self.mode = _render_mode(scene, width, height)
+        self.mode = _render_mode(scene, width, height,
+                                 config.large_scene_mode)
         if config.enable_nee and not isinstance(scene, BrickSet):
             self.mode = "xla"   # NEE currently runs on the XLA path only
         if isinstance(scene, ScenePack):
-            if self.mode == "bricks":
+            if self.mode in ("bricks", "wavefront"):
                 scene = BrickSet.from_pack(scene)
             else:
                 scene = DeviceScene.from_pack(scene)
-        elif self.mode == "bricks" and not isinstance(scene, BrickSet):
+        elif (self.mode in ("bricks", "wavefront")
+              and not isinstance(scene, BrickSet)):
             self.mode = "xla"   # caller handed a prebuilt DeviceScene
         self.scene = jax.device_put(scene)
         self.camera = camera

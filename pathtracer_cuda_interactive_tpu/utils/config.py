@@ -35,6 +35,10 @@ class RenderConfig:
     # them, SURVEY.md §3.5).  Currently implemented on the XLA path, so
     # enabling it pins the renderer to that path.
     enable_nee: bool = False
+    # large-triangle-scene compute path: "wavefront" (bounce-synchronous
+    # sorted re-packetization, ops/wavefront.py — the fast default) or
+    # "bricks" (persistent-lane packet kernel, ops/brickkernel.py)
+    large_scene_mode: str = "wavefront"
 
 
 _CONFIGURED = False
