@@ -346,10 +346,12 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
     wave render in chunks (shapes stay static per chunk size)."""
     bg = jnp.stack([jnp.asarray(brickset.bg_r), jnp.asarray(brickset.bg_g),
                     jnp.asarray(brickset.bg_b)])
-    # scene box = top-tree root node (node 0: row 0, cols 0..5)
-    root = np.asarray(brickset.top_boxes[0, :6], np.float32)
+    # scene box = top-tree root node (node 0: row 0, cols 0..5).  jnp ops so
+    # this also traces when the BrickSet is a jit argument (ProgressiveRenderer
+    # runs this inside _accumulate_step).
+    root = jnp.asarray(brickset.top_boxes)[0, :6].astype(jnp.float32)
     lo, hi = root[:3], root[3:]
-    inv = 1.0 / np.maximum(hi - lo, 1e-12)
+    inv = 1.0 / jnp.maximum(hi - lo, 1e-12)
     pix_slots, _ = _wave_layout(width, height)
     n_slots = pix_slots.shape[0]
 
