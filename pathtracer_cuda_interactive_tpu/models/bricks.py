@@ -74,6 +74,9 @@ class BrickSet:
     bg_r: np.ndarray
     bg_g: np.ndarray
     bg_b: np.ndarray
+    # point lights (NEE extension; wavefront shading samples them)
+    light_pos: np.ndarray        # [L,3]
+    light_intensity: np.ndarray  # [L,3]
     num_spheres: int
     num_bricks: int
     num_top: int
@@ -154,6 +157,8 @@ def build_bricks(pack: ScenePack) -> BrickSet:
         bg_r=np.float32(pack.background[0]),
         bg_g=np.float32(pack.background[1]),
         bg_b=np.float32(pack.background[2]),
+        light_pos=pack.light_pos.astype(np.float32),
+        light_intensity=pack.light_intensity.astype(np.float32),
         num_spheres=S, num_bricks=B, num_top=Ntop)
 
 

@@ -136,6 +136,36 @@ def _intersect_all(rows_ref, S: int, F: int, org: Vec3, dirn: Vec3, tnear):
             mp, Vec3(er, eg, eb), em)
 
 
+def _occluded_all(rows_ref, S: int, F: int, org: Vec3, dirn: Vec3,
+                  tnear, tfar):
+    """Any-hit over the resident SMEM prim table: 1.0 where the segment
+    (tnear, tfar) is blocked.  Brute force like _intersect_all but without
+    attribute selection — the shadow-ray half of NEE (the reference's dead
+    occlusion helpers scene.h:306-330, revived the TPU way).  Returns f32
+    (Mosaic: no bool vectors across regions)."""
+    shape = org.x.shape
+    occ = jnp.zeros(shape, jnp.float32)
+
+    def sphere_body(k, occ):
+        c = _svec(rows_ref, k, 1)
+        r = _scalar(rows_ref, k, 4)
+        _, hit = _sphere_test(c, r, org, dirn, tnear, tfar)
+        return jnp.where(hit, 1.0, occ)
+
+    def tri_body(k, occ):
+        p0 = _svec(rows_ref, k, 1)
+        e1 = _svec(rows_ref, k, 4)
+        e2 = _svec(rows_ref, k, 7)
+        _, _, _, hit = _tri_test(p0, e1, e2, org, dirn, tnear, tfar)
+        return jnp.where(hit, 1.0, occ)
+
+    if S > 0:
+        occ = lax.fori_loop(0, S, sphere_body, occ)
+    if F > 0:
+        occ = lax.fori_loop(S, S + F, tri_body, occ)
+    return occ
+
+
 def _sphere_test(center, radius, org, dirn, tnear, tfar):
     """Same math as geometry.intersect_sphere with unit |dirn| assumed
     NOT (keeps full quadratic for parity)."""
@@ -151,7 +181,8 @@ def _tri_test(p0, e1, e2, org, dirn, tnear, tfar):
 def make_persistent_kernel(width: int, height: int, num_samples: int,
                            seed: int, max_depth: int, block_rows: int,
                            intersect_fn, tile=None,
-                           rr_start_depth: int = RR_START_DEPTH):
+                           rr_start_depth: int = RR_START_DEPTH,
+                           nee_fn=None):
     """Build the persistent-lane render kernel body around a scene-specific
     closest-hit closure.
 
@@ -164,6 +195,12 @@ def make_persistent_kernel(width: int, height: int, num_samples: int,
     radiance.cuh:21-79 bounce state machine, RNG streams, and sample
     banking.  Shared by the small-scene SMEM megakernel below and the
     brick tracer (ops/brickkernel.py).
+
+    ``nee_fn(pos, n, wi, mat, T, active) -> Vec3`` (optional) returns the
+    next-event-estimation direct-lighting term to add to L at each hit —
+    already masked by the caller (deterministic: draws no RNG, so enabling
+    it leaves every sample stream bit-identical, same contract as
+    ops/integrator.py::_direct_point_lights).
 
     ``tile=(TW, TH)`` swizzles the block's lanes onto a compact TW x TH
     pixel tile (TW*TH == block_rows*128) instead of a row-major band —
@@ -301,10 +338,14 @@ def make_persistent_kernel(width: int, height: int, num_samples: int,
 
             n = where(cos_view < 0.0, -ns, ns)
 
+            mat = brdf.MatLookup(mtype=mt, color=alb, param=mp)
+            if nee_fn is not None:
+                extra = nee_fn(pos, n, wi, mat, T, active)
+                L = Vec3(L.x + extra.x, L.y + extra.y, L.z + extra.z)
+
             state, su1 = rng.next_uniform_i32(state)
             state, su2 = rng.next_uniform_i32(state)
             state, su3 = rng.next_uniform_i32(state)
-            mat = brdf.MatLookup(mtype=mt, color=alb, param=mp)
             wo, is_spec, weight = brdf.sample_brdf_from_uniforms(
                 mat, n, wi, su1, su2, su3)
             ev_value, ev_pdf = brdf.eval_brdf(mat, n, wi, wo)
@@ -398,18 +439,50 @@ def tile_permutation(width: int, height: int, block_rows: int,
 
 def _make_kernel(width: int, height: int, S: int, F: int, num_samples: int,
                  seed: int, max_depth: int, block_rows: int,
-                 rr_start_depth: int):
+                 rr_start_depth: int, num_lights: int = 0):
     """Small-scene kernel: the persistent shell around the resident-SMEM
-    brute-force intersector."""
+    brute-force intersector.  With ``num_lights`` > 0 the kernel takes an
+    extra [NL, 8] SMEM table (pos xyz, intensity rgb) and adds point-light
+    NEE with brute-force shadow rays over the same prim table."""
 
-    def kernel(cam_ref, bg_ref, meta_ref, rows_ref, outr_ref, outg_ref,
-               outb_ref):
+    def kernel(cam_ref, bg_ref, meta_ref, rows_ref, *rest):
+        if num_lights > 0:
+            lights_ref = rest[0]
+            outr_ref, outg_ref, outb_ref = rest[1:]
+        else:
+            outr_ref, outg_ref, outb_ref = rest
+
         def intersect(org, dirn, tnear, shape, active):
             return _intersect_all(rows_ref, S, F, org, dirn, tnear)
 
+        nee_fn = None
+        if num_lights > 0:
+            def nee_fn(pos, n, wi, mat, T, active):
+                # _direct_point_lights (ops/integrator.py:54-80) semantics
+                out = Vec3.zeros(pos.x.shape)
+                for l in range(num_lights):
+                    lp = _svec(lights_ref, l, 0)
+                    inten = _svec(lights_ref, l, 3)
+                    d = lp - pos
+                    dist2 = dot(d, d)
+                    dist = jnp.sqrt(dist2)
+                    wo = d * (1.0 / jnp.maximum(dist, 1e-20))
+                    ev_value, _ = brdf.eval_brdf(mat, n, wi, wo)
+                    occf = _occluded_all(rows_ref, S, F, pos, wo,
+                                         SECONDARY_TNEAR,
+                                         dist * (1.0 - 1e-3))
+                    contrib = T * ev_value * inten * \
+                        (1.0 / jnp.maximum(dist2, 1e-20))
+                    take = active & (occf <= 0.5)
+                    out = Vec3(jnp.where(take, out.x + contrib.x, out.x),
+                               jnp.where(take, out.y + contrib.y, out.y),
+                               jnp.where(take, out.z + contrib.z, out.z))
+                return out
+
         body = make_persistent_kernel(width, height, num_samples, seed,
                                       max_depth, block_rows, intersect,
-                                      rr_start_depth=rr_start_depth)
+                                      rr_start_depth=rr_start_depth,
+                                      nee_fn=nee_fn)
         body(cam_ref, bg_ref, meta_ref, outr_ref, outg_ref, outb_ref)
 
     return kernel
@@ -433,7 +506,8 @@ def render_blocks_pallas(prim_rows, cam_data, bg, sample_start, blk0,
                          n_blocks: int, num_samples: int, seed: int,
                          max_depth: int, S: int, F: int,
                          interpret: bool = False,
-                         rr_start_depth: int = RR_START_DEPTH):
+                         rr_start_depth: int = RR_START_DEPTH,
+                         light_rows=None):
     """Render grid blocks [blk0, blk0 + n_blocks) of the flat pixel space —
     the unit multi-chip sharding partitions (each chip renders its own
     block range; parallel/sharding.py).  Returns (r, g, b) each
@@ -448,22 +522,28 @@ def render_blocks_pallas(prim_rows, cam_data, bg, sample_start, blk0,
     bg_arr = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(bg)
     meta = pack_meta(sample_start, blk0, num_real)
 
+    NL = 0 if light_rows is None else int(light_rows.shape[0])
     kernel = _make_kernel(width, height, S, F, num_samples, seed, max_depth,
-                          BLOCK_ROWS, rr_start_depth)
+                          BLOCK_ROWS, rr_start_depth, NL)
     out_shape = jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32)
     smem = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0),
                                     memory_space=pltpu.SMEM)
     outspec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [smem((1, 12)), smem((1, 4)), smem((1, 4)),
+                smem(prim_rows.shape)]
+    args = [cam, bg_arr, meta, prim_rows]
+    if NL > 0:
+        in_specs.append(smem(light_rows.shape))
+        args.append(light_rows)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[smem((1, 12)), smem((1, 4)), smem((1, 4)),
-                  smem(prim_rows.shape)],
+        in_specs=in_specs,
         out_specs=(outspec, outspec, outspec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(cam, bg_arr, meta, prim_rows)
+    )(*args)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
@@ -472,30 +552,47 @@ def render_blocks_pallas(prim_rows, cam_data, bg, sample_start, blk0,
 def _render_pallas(prim_rows, cam_data, bg, sample_start, width: int,
                    height: int, num_samples: int, seed: int, max_depth: int,
                    S: int, F: int, interpret: bool = False,
-                   rr_start_depth: int = RR_START_DEPTH):
+                   rr_start_depth: int = RR_START_DEPTH, light_rows=None):
     R = width * height
     n_blocks = megakernel_total_blocks(width, height)
     r, g, b = render_blocks_pallas(prim_rows, cam_data, bg, sample_start,
                                    0, -1, width, height, n_blocks,
                                    num_samples, seed, max_depth, S, F,
-                                   interpret, rr_start_depth)
+                                   interpret, rr_start_depth, light_rows)
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)],
                     axis=-1)[:R]
     return img.reshape(height, width, 3)
+
+
+def pack_light_rows(scene):
+    """[NL, 8] f32 SMEM point-light table (pos xyz, intensity rgb, pad),
+    or None when the scene has no point lights."""
+    NL = int(scene.light_pos.shape[0])
+    if NL == 0:
+        return None
+    rows = jnp.zeros((NL, 8), jnp.float32)
+    rows = rows.at[:, 0:3].set(jnp.asarray(scene.light_pos, jnp.float32))
+    rows = rows.at[:, 3:6].set(
+        jnp.asarray(scene.light_intensity, jnp.float32))
+    return rows
 
 
 def render_samples_pallas(scene, cam_data, width: int, height: int,
                           sample_start, num_samples: int = 1,
                           seed: int = 1984, max_depth: int = MAX_DEPTH,
                           interpret: bool = False,
-                          rr_start_depth: int = RR_START_DEPTH):
+                          rr_start_depth: int = RR_START_DEPTH,
+                          nee: bool = False):
     """Drop-in replacement for ops.integrator.render_samples on scenes with
     <= MEGAKERNEL_MAX_PRIMS primitives.  Returns the [H,W,3] radiance sum
-    of ``num_samples`` passes."""
+    of ``num_samples`` passes.  ``nee=True`` adds point-light next-event
+    estimation (matches the XLA path's _direct_point_lights)."""
     bg = jnp.stack([jnp.asarray(scene.bg_r), jnp.asarray(scene.bg_g),
                     jnp.asarray(scene.bg_b)])
+    light_rows = pack_light_rows(scene) if nee else None
     return _render_pallas(scene.prim_rows, cam_data, bg, sample_start,
                           width, height, num_samples, seed, max_depth,
                           scene.num_spheres, scene.num_triangles,
                           interpret=interpret,
-                          rr_start_depth=rr_start_depth)
+                          rr_start_depth=rr_start_depth,
+                          light_rows=light_rows)

@@ -165,6 +165,41 @@ def _sort_key(org: Vec3, dirn: Vec3, active, lo, inv_extent):
     return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
 
 
+def _nee_term(rec, dirn, T, active, light_rows, shadow_t):
+    """Point-light next-event estimation for one wave: the direct-lighting
+    radiance to add at each hit (ops/integrator.py::_direct_point_lights
+    semantics — deterministic, no RNG draws, so sample streams stay
+    bit-identical).  ``shadow_t(org, wo, mask) -> t`` traces a shadow wave
+    through the brick tree and returns the closest-hit distance (inf=clear).
+    """
+    (t, nsx, nsy, nsz, px, py, pz, mt, ar, ag, ab, mp, *_rest) = rec
+    shape = t.shape
+    zero = Vec3.zeros(shape)
+    hit = active & (t < INF)
+    ns = normalize(Vec3(nsx, nsy, nsz))
+    wi = -dirn
+    cos_view = dot(wi, ns)
+    n = where(cos_view < 0.0, -ns, ns)
+    mat = brdf.MatLookup(mtype=mt, color=Vec3(ar, ag, ab), param=mp)
+    pos = Vec3(px, py, pz)
+    out = zero
+    for l in range(int(light_rows.shape[0])):
+        d = Vec3(light_rows[l, 0] - pos.x, light_rows[l, 1] - pos.y,
+                 light_rows[l, 2] - pos.z)
+        dist2 = dot(d, d)
+        dist = jnp.sqrt(dist2)
+        wo = d * (1.0 / jnp.maximum(dist, 1e-20))
+        ev_value, _ = brdf.eval_brdf(mat, n, wi, wo)
+        ts = shadow_t(pos, wo, hit)
+        occ = ts < dist * (1.0 - 1e-3)
+        inten = Vec3(jnp.full(shape, light_rows[l, 3]),
+                     jnp.full(shape, light_rows[l, 4]),
+                     jnp.full(shape, light_rows[l, 5]))
+        contrib = T * ev_value * inten * (1.0 / jnp.maximum(dist2, 1e-20))
+        out = out + where(hit & ~occ, contrib, zero)
+    return out
+
+
 def _shade(rec, org, dirn, T, L, active, state, depth, bg,
            rr_start_depth: int, max_depth: int):
     """One bounce of the radiance.cuh:21-79 state machine, given the trace
@@ -245,7 +280,8 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       width: int, height: int, num_samples: int, seed: int,
                       max_depth: int, S: int, interpret: bool = False,
                       rr_start_depth: int = RR_START_DEPTH,
-                      sort_mode: str = "mort_oct", num_real=None):
+                      sort_mode: str = "mort_oct", num_real=None,
+                      light_rows=None):
     R = width * height
     n_slots = pix_slots.shape[0]
     bg3 = Vec3(bg[0], bg[1], bg[2])
@@ -282,6 +318,15 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                           tnear, org.x, org.y, org.z,
                           dirn.x, dirn.y, dirn.z, act_f, S,
                           interpret=interpret)
+        if light_rows is not None:
+            def shadow_t(sorg, sdir, mask):
+                srec = _trace_wave(
+                    sph_rows, top_boxes, top_links, brick_data,
+                    SECONDARY_TNEAR, sorg.x, sorg.y, sorg.z,
+                    sdir.x, sdir.y, sdir.z,
+                    jnp.where(mask, 1.0, 0.0), S, interpret=interpret)
+                return srec[0]
+            L = L + _nee_term(rec, dirn, T, active, light_rows, shadow_t)
         return _shade(rec, org, dirn, T, L, active, state, depth, bg3,
                       rr_start_depth, max_depth)
 
@@ -340,10 +385,17 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
                              max_depth: int = MAX_DEPTH,
                              interpret: bool = False,
                              rr_start_depth: int = RR_START_DEPTH,
-                             sort_mode: str = "mort_oct"):
+                             sort_mode: str = "mort_oct",
+                             nee: bool = False):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
-    wave render in chunks (shapes stay static per chunk size)."""
+    wave render in chunks (shapes stay static per chunk size).
+    ``nee=True`` samples point lights at every hit with shadow waves."""
+    light_rows = None
+    if nee and int(brickset.light_pos.shape[0]) > 0:
+        light_rows = jnp.concatenate(
+            [jnp.asarray(brickset.light_pos, jnp.float32),
+             jnp.asarray(brickset.light_intensity, jnp.float32)], axis=1)
     bg = jnp.stack([jnp.asarray(brickset.bg_r), jnp.asarray(brickset.bg_g),
                     jnp.asarray(brickset.bg_b)])
     # scene box = top-tree root node (node 0: row 0, cols 0..5).  jnp ops so
@@ -367,7 +419,7 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
             jnp.asarray(sample_start, jnp.uint32) + jnp.uint32(done),
             width, height, ns, seed, max_depth, brickset.num_spheres,
             interpret=interpret, rr_start_depth=rr_start_depth,
-            sort_mode=sort_mode)
+            sort_mode=sort_mode, light_rows=light_rows)
         acc = out if acc is None else acc + out
         done += ns
     return acc

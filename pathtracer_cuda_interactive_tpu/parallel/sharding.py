@@ -69,9 +69,9 @@ def _padded_grid(width: int, height: int, n_tiles: int):
 
 @partial(jax.jit,
          static_argnames=("width", "height", "num_samples", "seed",
-                          "max_depth", "mesh"))
+                          "max_depth", "mesh", "nee"))
 def _render_sharded(scene, cam_data, pix, sample_start, width, height,
-                    num_samples, seed, max_depth, mesh):
+                    num_samples, seed, max_depth, mesh, nee=False):
     ns_total = num_samples
     ns_shard = mesh.shape[SAMPLE_AXIS]
     ns_local = -(-ns_total // ns_shard)  # static ceil per shard
@@ -86,7 +86,7 @@ def _render_sharded(scene, cam_data, pix, sample_start, width, height,
         n_real = jnp.clip(ns_total - s_idx * ns_local, 0, ns_local)
         acc = render_pixel_sums(scene, cam_data, pix, width, height,
                                 local_start, ns_local, seed, max_depth,
-                                num_real=n_real)
+                                nee=nee, num_real=n_real)
         return lax.psum(acc, SAMPLE_AXIS)
 
     fn = jax.shard_map(
@@ -99,16 +99,17 @@ def _render_sharded(scene, cam_data, pix, sample_start, width, height,
 
 @partial(jax.jit,
          static_argnames=("width", "height", "num_samples", "seed",
-                          "max_depth", "mesh", "interpret", "rr_start_depth"))
+                          "max_depth", "mesh", "interpret", "rr_start_depth",
+                          "nee"))
 def _render_sharded_megakernel(scene, cam_data, sample_start, width, height,
                                num_samples, seed, max_depth, mesh,
-                               interpret=False, rr_start_depth=5):
+                               interpret=False, rr_start_depth=5, nee=False):
     """Tile+sample sharding of the Pallas megakernel: each chip renders its
     own RANGE of grid blocks (bit-identical per pixel to the single-chip
     kernel) and its slice of the sample batch; partial sums psum over the
     sample axis and block rows concatenate over the tile axis."""
     from ..ops.megakernel import (BLOCK_ROWS, megakernel_total_blocks,
-                                  render_blocks_pallas)
+                                  pack_light_rows, render_blocks_pallas)
     n_tiles = mesh.shape[TILE_AXIS]
     ns_shard = mesh.shape[SAMPLE_AXIS]
     ns_local = -(-num_samples // ns_shard)
@@ -123,11 +124,12 @@ def _render_sharded_megakernel(scene, cam_data, sample_start, width, height,
         s_idx = lax.axis_index(SAMPLE_AXIS)
         local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
         num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        light_rows = pack_light_rows(scene) if nee else None
         r, g, b = render_blocks_pallas(
             scene.prim_rows, cam_data, bg, local_start,
             t_idx * blocks_local, num_real, width, height, blocks_local,
             ns_local, seed, max_depth, scene.num_spheres,
-            scene.num_triangles, interpret, rr_start_depth)
+            scene.num_triangles, interpret, rr_start_depth, light_rows)
         return (lax.psum(r, SAMPLE_AXIS), lax.psum(g, SAMPLE_AXIS),
                 lax.psum(b, SAMPLE_AXIS))
 
@@ -190,11 +192,12 @@ def _render_sharded_bricks(bs, cam_data, sample_start, width, height,
 @partial(jax.jit,
          static_argnames=("width", "height", "num_samples", "seed",
                           "max_depth", "mesh", "interpret", "rr_start_depth",
-                          "sort_mode"))
+                          "sort_mode", "nee"))
 def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
                               sample_start, width, height, num_samples,
                               seed, max_depth, mesh, interpret=False,
-                              rr_start_depth=5, sort_mode="mort_oct"):
+                              rr_start_depth=5, sort_mode="mort_oct",
+                              nee=False):
     """Tile+sample sharding of the sorted-wavefront tracer: the slot->pixel
     map is sharded over tiles (each chip sorts and traces only its own
     rays); per-chip partial images psum over both axes."""
@@ -209,12 +212,17 @@ def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
         s_idx = lax.axis_index(SAMPLE_AXIS)
         local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
         num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        light_rows = None
+        if nee and int(bs.light_pos.shape[0]) > 0:
+            light_rows = jnp.concatenate(
+                [jnp.asarray(bs.light_pos, jnp.float32),
+                 jnp.asarray(bs.light_intensity, jnp.float32)], axis=1)
         img = _render_wavefront(
             bs.sph_rows, bs.top_boxes, bs.top_links, bs.brick_data,
             cam_data, bg, scene_lo, scene_inv, pix_slots, local_start,
             width, height, ns_local, seed, max_depth, bs.num_spheres,
             interpret=interpret, rr_start_depth=rr_start_depth,
-            sort_mode=sort_mode, num_real=num_real)
+            sort_mode=sort_mode, num_real=num_real, light_rows=light_rows)
         return lax.psum(img, (SAMPLE_AXIS, TILE_AXIS))
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
@@ -231,7 +239,8 @@ def render_samples_sharded(scene, cam_data, width: int,
                            max_depth: int = MAX_DEPTH, mode: str = "xla",
                            interpret: bool = False,
                            rr_start_depth: int = 5,
-                           sort_mode: str = "mort_oct") -> jnp.ndarray:
+                           sort_mode: str = "mort_oct",
+                           nee: bool = False) -> jnp.ndarray:
     """Sharded render dispatch: returns the [H, W, 3] radiance sum of
     EXACTLY ``num_samples`` passes, computed across the mesh (per-chip pass
     counts ceil-round, but the surplus passes are masked out of the sum).
@@ -245,10 +254,12 @@ def render_samples_sharded(scene, cam_data, width: int,
     ``interpret=True`` runs the Pallas paths in interpreter mode (CPU mesh
     tests)."""
     start = jnp.asarray(sample_start, jnp.uint32)
+    if mode == "bricks" and nee:
+        mode = "wavefront"   # the persistent brick kernel has no NEE hook
     if mode == "megakernel":
         return _render_sharded_megakernel(
             scene, cam_data, start, width, height, num_samples, seed,
-            max_depth, mesh, interpret, rr_start_depth)
+            max_depth, mesh, interpret, rr_start_depth, nee)
     if mode == "bricks":
         return _render_sharded_bricks(
             scene, cam_data, start, width, height, num_samples, seed,
@@ -274,14 +285,15 @@ def render_samples_sharded(scene, cam_data, width: int,
         return _render_sharded_wavefront(
             scene, cam_data, slots, jnp.asarray(lo), jnp.asarray(inv),
             start, width, height, num_samples, seed, max_depth, mesh,
-            interpret, rr_start_depth, sort_mode)
+            interpret, rr_start_depth, sort_mode, nee)
 
     n_tiles = mesh.shape[TILE_AXIS]
     pix, rows = _padded_grid(width, height, n_tiles)
     pix_sharded = jax.device_put(
         jnp.asarray(pix), NamedSharding(mesh, P(TILE_AXIS, None)))
     acc = _render_sharded(scene, cam_data, pix_sharded, start,
-                          width, height, num_samples, seed, max_depth, mesh)
+                          width, height, num_samples, seed, max_depth, mesh,
+                          nee)
     acc = acc.reshape(rows * LANES, 3)[:width * height]
     return acc.reshape(height, width, 3)
 

@@ -72,12 +72,14 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
     if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
-                                    max_depth, rr_start_depth=rr_start_depth)
+                                    max_depth, rr_start_depth=rr_start_depth,
+                                    nee=nee)
     elif mode == "wavefront":
         new = render_samples_wavefront(scene, cam_data, width, height,
                                        sample_start, num_samples, seed,
                                        max_depth,
-                                       rr_start_depth=rr_start_depth)
+                                       rr_start_depth=rr_start_depth,
+                                       nee=nee)
     elif mode == "bricks":
         new = render_samples_bricks(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -98,8 +100,10 @@ class ProgressiveRenderer:
         setup_jax()
         self.mode = _render_mode(scene, width, height,
                                  config.large_scene_mode)
-        if config.enable_nee and not isinstance(scene, BrickSet):
-            self.mode = "xla"   # NEE currently runs on the XLA path only
+        if config.enable_nee and self.mode == "bricks":
+            # the persistent brick kernel has no NEE hook; the sorted
+            # wavefront (same BrickSet) does
+            self.mode = "wavefront"
         if isinstance(scene, ScenePack):
             if self.mode in ("bricks", "wavefront"):
                 scene = BrickSet.from_pack(scene)
