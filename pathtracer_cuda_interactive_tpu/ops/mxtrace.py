@@ -1,0 +1,371 @@
+"""MXU wavefront tracer: ray/triangle intersection as systolic matmuls.
+
+The brick tracer (ops/brickkernel.py) and its sorted-wavefront shell
+(ops/wavefront.py) intersect packets against bricks with per-primitive VPU
+vector ops gated by a scalar tree walk — the whole packet pays the
+traversal UNION of its rays, measured at ~36x useful work on bunny
+primaries (tools/kernel_stats.py).  This module replaces both the walk and
+the VPU loop with two dense, TPU-shaped stages per bounce:
+
+  1. CULL   — packets of ``MX_PACKET`` sorted rays are bounded (origin box
+     + direction interval) and tested against ALL brick AABBs at once with
+     conservative interval arithmetic: one [packets, bricks] elementwise
+     pass, no tree, no scalar unit.  Overlapped bricks are ordered by
+     conservative entry distance (one lax.sort row per packet).
+  2. INTERSECT — a while_loop over "rounds": each round, every unfinished
+     packet takes its next-nearest brick and intersects all P rays against
+     its T triangles with ONE [P,10] x [10,4T] matmul in the Plucker
+     feature basis (models/mxset.py), then a sign-corrected validity
+     epilogue and a min-reduction update the per-ray closest hit.  A packet
+     stops as soon as every live ray's best t is at or below the entry
+     bound of its next brick (the near-first early-out of a classic BVH
+     walk, at packet granularity).
+
+Attributes (normals, material, emission) are fetched once per bounce by a
+single gather of the winning slot's 32-float row — the layout shared with
+the megakernel — producing the same 16-channel hit record as
+ops/wavefront.py::_trace_wave, so the sorted-wavefront shading/sort loop is
+reused unchanged.  Semantics: radiance.cuh:21-79 via wavefront._shade;
+parity asserted against the XLA oracle in tests/test_mxtrace.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.mxset import MXSet
+from . import rng
+from .geometry import intersect_sphere
+from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
+from .vec import Vec3, where
+from .wavefront import (MAX_RAYS_PER_WAVE, _nee_term, _shade, _sort_key,
+                        _wave_layout, camera_rays)
+
+INF = float("inf")
+MX_PACKET = 128          # rays per cull packet == one [1, 128] SoA row
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: conservative packet-frustum vs brick-AABB cull
+# ---------------------------------------------------------------------------
+
+def _minmax_masked(a, active, lo_fill=INF, hi_fill=-INF):
+    lo = jnp.min(jnp.where(active, a, lo_fill), axis=1)
+    hi = jnp.max(jnp.where(active, a, hi_fill), axis=1)
+    return lo, hi
+
+
+def _interval_cull(org: Vec3, dirn: Vec3, active, brick_lo, brick_hi,
+                   tnear: float):
+    """Conservative entry-distance lower bounds [M, B]; inf = certainly no
+    ray of packet m hits brick b.  Packets are the rows of the [rows, 128]
+    ray SoA.  Interval arithmetic over the packet's origin box and
+    direction bounds; axes whose direction interval spans zero contribute
+    no constraint (conservative)."""
+    LB = None
+    UB = None
+    pk_live = jnp.any(active, axis=1)
+    for o, d, ax in ((org.x, dirn.x, 0), (org.y, dirn.y, 1),
+                     (org.z, dirn.z, 2)):
+        olo, ohi = _minmax_masked(o, active)
+        dlo, dhi = _minmax_masked(d, active)
+        olo, ohi = olo[:, None], ohi[:, None]          # [M,1]
+        same = (dlo * dhi > 0.0)[:, None]
+        # 1/d is monotone on a sign-definite interval: r in [1/dhi, 1/dlo]
+        rlo = (1.0 / jnp.where(dlo * dhi > 0.0, dhi, 1.0))[:, None]
+        rhi = (1.0 / jnp.where(dlo * dhi > 0.0, dlo, 1.0))[:, None]
+        blo = brick_lo[None, :, ax]                    # [1,B]
+        bhi = brick_hi[None, :, ax]
+
+        def pint(nlo, nhi):
+            p0, p1, p2, p3 = nlo * rlo, nlo * rhi, nhi * rlo, nhi * rhi
+            return (jnp.minimum(jnp.minimum(p0, p1), jnp.minimum(p2, p3)),
+                    jnp.maximum(jnp.maximum(p0, p1), jnp.maximum(p2, p3)))
+
+        l0, h0 = pint(blo - ohi, blo - olo)            # near-plane times
+        l1, h1 = pint(bhi - ohi, bhi - olo)            # far-plane times
+        axlo = jnp.minimum(l0, l1)    # <= every ray's slab entry
+        axhi = jnp.maximum(h0, h1)    # >= every ray's slab exit
+        axlo = jnp.where(same, axlo, -INF)
+        axhi = jnp.where(same, axhi, INF)
+        LB = axlo if LB is None else jnp.maximum(LB, axlo)
+        UB = axhi if UB is None else jnp.minimum(UB, axhi)
+    ok = (jnp.maximum(LB, tnear) <= UB) & (UB >= 0.0) & pk_live[:, None]
+    return jnp.where(ok, jnp.maximum(LB, 0.0), INF)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: matmul intersection rounds
+# ---------------------------------------------------------------------------
+
+def _features(org: Vec3, dirn: Vec3):
+    """[M, P, 10] Plucker ray features [o, d, o x d, 1] (models/mxset.py)."""
+    cx = org.y * dirn.z - org.z * dirn.y
+    cy = org.z * dirn.x - org.x * dirn.z
+    cz = org.x * dirn.y - org.y * dirn.x
+    return jnp.stack([org.x, org.y, org.z, dirn.x, dirn.y, dirn.z,
+                      cx, cy, cz, jnp.ones_like(org.x)], axis=-1)
+
+
+def _mx_rounds(coeff, order, slb, feats, live, tnear, T: int, B: int):
+    """While-loop over nearest-brick rounds.  feats [M,P,10]; live [M,P];
+    order/slb [M,B] (brick visit order / conservative entry bounds).
+    Returns (t, u, v, slot) per ray, slot = brick*T + k or -1."""
+    M, P = live.shape
+
+    def need(r, bt):
+        lbr = lax.dynamic_slice_in_dim(slb, r, 1, axis=1)[:, 0]     # [M]
+        open_pk = jnp.isfinite(lbr)
+        ray_need = live & (bt > lbr[:, None])
+        return jnp.any(ray_need, axis=1) & open_pk                  # [M]
+
+    def cond(st):
+        r, bt = st[0], st[1]
+        return (r < B) & jnp.any(need(r, bt))
+
+    def body(st):
+        r, bt, bu, bv, bslot = st
+        lbr = lax.dynamic_slice_in_dim(slb, r, 1, axis=1)[:, 0]
+        bid = lax.dynamic_slice_in_dim(order, r, 1, axis=1)[:, 0]   # [M]
+        act = need(r, bt)
+        cf = jnp.take(coeff, bid, axis=0)            # [M, 10, 4T] gather
+        out = jax.lax.dot_general(
+            feats, cf, (((2,), (1,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST)         # [M, P, 4T]
+        det = out[..., 0 * T:1 * T]
+        U = out[..., 1 * T:2 * T]
+        V = out[..., 2 * T:3 * T]
+        Tt = out[..., 3 * T:4 * T]
+        s = jnp.sign(det)
+        su, sv, sd = U * s, V * s, det * s
+        tt = Tt / jnp.where(det == 0.0, 1.0, det)
+        valid = ((det != 0.0) & (su >= 0.0) & (sv >= 0.0)
+                 & (su + sv <= sd) & (tt > tnear) & (tt < bt[..., None])
+                 & live[..., None] & act[:, None, None])
+        tv = jnp.where(valid, tt, INF)
+        k = jnp.argmin(tv, axis=-1)                                 # [M,P]
+        ke = k[..., None]
+        tm = jnp.take_along_axis(tv, ke, axis=-1)[..., 0]
+        better = tm < bt
+        inv_d = 1.0 / jnp.where(
+            jnp.take_along_axis(det, ke, axis=-1)[..., 0] == 0.0, 1.0,
+            jnp.take_along_axis(det, ke, axis=-1)[..., 0])
+        um = jnp.take_along_axis(U, ke, axis=-1)[..., 0] * inv_d
+        vm = jnp.take_along_axis(V, ke, axis=-1)[..., 0] * inv_d
+        slot = bid[:, None] * T + k.astype(jnp.int32)
+        return (r + 1,
+                jnp.where(better, tm, bt),
+                jnp.where(better, um, bu),
+                jnp.where(better, vm, bv),
+                jnp.where(better, slot, bslot))
+
+    bt = jnp.full((M, P), INF, jnp.float32)
+    zero = jnp.zeros((M, P), jnp.float32)
+    bslot = jnp.full((M, P), -1, jnp.int32)
+    st = (jnp.int32(0), bt, zero, zero, bslot)
+    st = lax.while_loop(cond, body, st)
+    return st[1], st[2], st[3], st[4]
+
+
+# ---------------------------------------------------------------------------
+# Full one-bounce closest hit: spheres + MX bricks -> 16-channel record
+# ---------------------------------------------------------------------------
+
+def _trace_mx(coeff, brick_lo, brick_hi, tri_rows, sph_rows,
+              org: Vec3, dirn: Vec3, tnear: float, active,
+              S: int, B: int, T: int):
+    shape = org.x.shape
+    lb = _interval_cull(org, dirn, active, brick_lo, brick_hi, tnear)
+    order = jnp.argsort(lb, axis=1).astype(jnp.int32)
+    slb = jnp.take_along_axis(lb, order, axis=1)
+    feats = _features(org, dirn)
+    t, u, v, slot = _mx_rounds(coeff, order, slb, feats, active, tnear,
+                               T, B)
+
+    # triangle attributes: one gather of the winning slot's 32-float row
+    rows = jnp.take(tri_rows, jnp.maximum(slot, 0).reshape(-1),
+                    axis=0).reshape(shape + (32,))
+    gv = lambda j: Vec3(rows[..., j], rows[..., j + 1], rows[..., j + 2])
+    p0, e1, e2 = gv(1), gv(4), gv(7)
+    w = 1.0 - u - v
+    pos = Vec3(p0.x + e1.x * u + e2.x * v,
+               p0.y + e1.y * u + e2.y * v,
+               p0.z + e1.z * u + e2.z * v)
+    n0, n1, n2 = gv(10), gv(13), gv(16)
+    ni = Vec3(n0.x * w + n1.x * u + n2.x * v,
+              n0.y * w + n1.y * u + n2.y * v,
+              n0.z * w + n1.z * u + n2.z * v)
+    ng = Vec3(e1.y * e2.z - e1.z * e2.y,
+              e1.z * e2.x - e1.x * e2.z,
+              e1.x * e2.y - e1.y * e2.x)
+    smooth = rows[..., 28] > 0.5
+    ns = Vec3(jnp.where(smooth, ni.x, ng.x),
+              jnp.where(smooth, ni.y, ng.y),
+              jnp.where(smooth, ni.z, ng.z))
+    mt, mp = rows[..., 19], rows[..., 23]
+    alb, em = gv(20), gv(24)
+    emit = rows[..., 27]
+    t = jnp.where(slot >= 0, t, INF)
+
+    # spheres: resident-table brute force (same math as the megakernel)
+    for j in range(S):
+        c = Vec3(sph_rows[j, 1], sph_rows[j, 2], sph_rows[j, 3])
+        rad = sph_rows[j, 4]
+        ts, hit = intersect_sphere(c, rad, org, dirn, tnear, t)
+        closer = hit & (ts < t) & active
+        spos = Vec3(org.x + dirn.x * ts, org.y + dirn.y * ts,
+                    org.z + dirn.z * ts)
+        sns = Vec3(spos.x - c.x, spos.y - c.y, spos.z - c.z)
+        t = jnp.where(closer, ts, t)
+        pos = where(closer, spos, pos)
+        ns = where(closer, sns, ns)
+        mt = jnp.where(closer, sph_rows[j, 19], mt)
+        mp = jnp.where(closer, sph_rows[j, 23], mp)
+        alb = where(closer, Vec3(sph_rows[j, 20], sph_rows[j, 21],
+                                 sph_rows[j, 22]), alb)
+        em = where(closer, Vec3(sph_rows[j, 24], sph_rows[j, 25],
+                                sph_rows[j, 26]), em)
+        emit = jnp.where(closer, sph_rows[j, 27], emit)
+
+    t = jnp.where(active, t, INF)
+    return (t, ns.x, ns.y, ns.z, pos.x, pos.y, pos.z, mt,
+            alb.x, alb.y, alb.z, mp, em.x, em.y, em.z, emit)
+
+
+# ---------------------------------------------------------------------------
+# Render loop: the sorted-wavefront shell around the MX tracer
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "S", "B", "T",
+                                   "rr_start_depth", "sort_mode"))
+def _render_mx(coeff, brick_lo, brick_hi, tri_rows, sph_rows, cam_data,
+               bg, scene_lo, scene_inv, pix_slots, sample_start,
+               width: int, height: int, num_samples: int, seed: int,
+               max_depth: int, S: int, B: int, T: int,
+               rr_start_depth: int = RR_START_DEPTH,
+               sort_mode: str = "mort_oct", num_real=None, light_rows=None):
+    R = width * height
+    n_slots = pix_slots.shape[0]
+    bg3 = Vec3(bg[0], bg[1], bg[2])
+
+    pix = jnp.tile(pix_slots, num_samples)
+    samp = jnp.repeat(jnp.arange(num_samples, dtype=jnp.uint32), n_slots)
+    rows = (n_slots * num_samples) // LANES
+    shape = (rows, LANES)
+    pix2 = pix.reshape(shape)
+    valid = pix2 < R
+    if num_real is not None:
+        valid = valid & (samp.reshape(shape) < num_real.astype(jnp.uint32))
+
+    state = rng.seed_rays(pix2.astype(jnp.uint32),
+                          sample_start + samp.reshape(shape), seed)
+    state, u1 = rng.next_uniform(state)
+    state, u2 = rng.next_uniform(state)
+    i = (pix2 % width).astype(jnp.float32)
+    j = (pix2 // width).astype(jnp.float32)
+    org, dirn = camera_rays(cam_data, (i + u1) / width, (j + u2) / height)
+
+    T3 = Vec3.full(shape, (1.0, 1.0, 1.0))
+    L = Vec3.zeros(shape)
+    active = valid
+
+    def trace_shade(org, dirn, Tv, L, active, state, depth, tnear):
+        rec = _trace_mx(coeff, brick_lo, brick_hi, tri_rows, sph_rows,
+                        org, dirn, tnear, active, S, B, T)
+        if light_rows is not None:
+            def shadow_t(sorg, sdir, mask):
+                srec = _trace_mx(coeff, brick_lo, brick_hi, tri_rows,
+                                 sph_rows, sorg, sdir, SECONDARY_TNEAR,
+                                 mask, S, B, T)
+                return srec[0]
+            L = L + _nee_term(rec, dirn, Tv, active, light_rows, shadow_t)
+        return _shade(rec, org, dirn, Tv, L, active, state, depth, bg3,
+                      rr_start_depth, max_depth)
+
+    org, dirn, T3, L, active, state = trace_shade(
+        org, dirn, T3, L, active, state, jnp.int32(0), 0.0)
+
+    def cond(st):
+        return jnp.any(st[0]) & (st[1] < max_depth)
+
+    def body(st):
+        (active, depth, ox, oy, oz, dx, dy, dz, Tx, Ty, Tz,
+         Lx, Ly, Lz, pixc, state) = st
+        org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+        if sort_mode != "none":
+            key = _sort_key(org, dirn, active, scene_lo, scene_inv)
+            flat = lambda a: a.reshape(-1)
+            cols = lax.sort(
+                (flat(key), flat(ox), flat(oy), flat(oz), flat(dx),
+                 flat(dy), flat(dz), flat(Tx), flat(Ty), flat(Tz),
+                 flat(Lx), flat(Ly), flat(Lz), flat(pixc), flat(state),
+                 flat(jnp.where(active, 1.0, 0.0))),
+                num_keys=1)
+            (ox, oy, oz, dx, dy, dz, Tx, Ty, Tz, Lx, Ly, Lz, pixc,
+             state, act_f) = (c.reshape(shape) for c in cols[1:])
+            org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
+            active = act_f > 0.0
+        Tv, L = Vec3(Tx, Ty, Tz), Vec3(Lx, Ly, Lz)
+        org, dirn, Tv, L, active, state = trace_shade(
+            org, dirn, Tv, L, active, state, depth, SECONDARY_TNEAR)
+        return (active, depth + 1, org.x, org.y, org.z,
+                dirn.x, dirn.y, dirn.z, Tv.x, Tv.y, Tv.z, L.x, L.y, L.z,
+                pixc, state)
+
+    st = (active, jnp.int32(1), org.x, org.y, org.z, dirn.x, dirn.y,
+          dirn.z, T3.x, T3.y, T3.z, L.x, L.y, L.z, pix2, state)
+    st = lax.while_loop(cond, body, st)
+    Lx, Ly, Lz, pixc = st[11], st[12], st[13], st[14]
+
+    img = jnp.stack([
+        jax.ops.segment_sum(c.reshape(-1), pixc.reshape(-1),
+                            num_segments=R + 1)[:R]
+        for c in (Lx, Ly, Lz)], axis=-1)
+    return img.reshape(height, width, 3)
+
+
+def render_samples_mx(mx: MXSet, cam_data, width: int, height: int,
+                      sample_start, num_samples: int = 1, seed: int = 1984,
+                      max_depth: int = MAX_DEPTH,
+                      rr_start_depth: int = RR_START_DEPTH,
+                      sort_mode: str = "mort_oct",
+                      nee: bool = False, num_real=None, pix_slots=None):
+    """MXU-tracer drop-in for render_samples_wavefront: the [H,W,3]
+    radiance SUM of ``num_samples`` passes.  ``pix_slots`` overrides the
+    slot->pixel map (multi-chip shards pass their own slice)."""
+    bg = jnp.stack([jnp.asarray(mx.bg_r), jnp.asarray(mx.bg_g),
+                    jnp.asarray(mx.bg_b)])
+    lo = jnp.asarray(mx.scene_lo)
+    inv = 1.0 / jnp.maximum(jnp.asarray(mx.scene_hi) - lo, 1e-12)
+    if pix_slots is None:
+        pix_slots, _ = _wave_layout(width, height)
+    n_slots = pix_slots.shape[0]
+    light_rows = None
+    if nee and int(mx.light_pos.shape[0]) > 0:
+        light_rows = jnp.concatenate(
+            [jnp.asarray(mx.light_pos, jnp.float32),
+             jnp.asarray(mx.light_intensity, jnp.float32)], axis=1)
+
+    chunk = max(1, MAX_RAYS_PER_WAVE // n_slots)
+    acc = None
+    done = 0
+    while done < num_samples:
+        ns = min(chunk, num_samples - done)
+        nr = None
+        if num_real is not None:
+            nr = jnp.clip(num_real.astype(jnp.int32) - done, 0, ns)
+        out = _render_mx(
+            mx.coeff, mx.brick_lo, mx.brick_hi, mx.tri_rows, mx.sph_rows,
+            cam_data, bg, lo, inv, jnp.asarray(pix_slots),
+            jnp.asarray(sample_start, jnp.uint32) + jnp.uint32(done),
+            width, height, ns, seed, max_depth, mx.num_spheres,
+            mx.num_bricks, mx.brick_prims, rr_start_depth=rr_start_depth,
+            sort_mode=sort_mode, num_real=nr, light_rows=light_rows)
+        acc = out if acc is None else acc + out
+        done += ns
+    return acc

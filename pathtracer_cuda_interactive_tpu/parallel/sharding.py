@@ -233,6 +233,37 @@ def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
               sample_start)
 
 
+@partial(jax.jit,
+         static_argnames=("width", "height", "num_samples", "seed",
+                          "max_depth", "mesh", "rr_start_depth",
+                          "sort_mode", "nee"))
+def _render_sharded_mx(mx, cam_data, pix_slots, sample_start, width, height,
+                       num_samples, seed, max_depth, mesh,
+                       rr_start_depth=5, sort_mode="mort_oct", nee=False):
+    """Tile+sample sharding of the MXU Plucker-matmul tracer
+    (ops/mxtrace.py): slot map sharded over tiles, partial images psum
+    over both axes.  Pure XLA, so it runs unmodified on CPU meshes."""
+    from ..ops.mxtrace import render_samples_mx
+    ns_shard = mesh.shape[SAMPLE_AXIS]
+    ns_local = -(-num_samples // ns_shard)
+
+    def shard_fn(mx, cam_data, pix_slots, sample_start):
+        s_idx = lax.axis_index(SAMPLE_AXIS)
+        local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        img = render_samples_mx(
+            mx, cam_data, width, height, local_start, ns_local, seed,
+            max_depth, rr_start_depth=rr_start_depth, sort_mode=sort_mode,
+            nee=nee, num_real=num_real, pix_slots=pix_slots)
+        return lax.psum(img, (SAMPLE_AXIS, TILE_AXIS))
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(TILE_AXIS), P()),
+                       out_specs=P(),
+                       check_vma=False)
+    return fn(mx, cam_data, pix_slots, sample_start)
+
+
 def render_samples_sharded(scene, cam_data, width: int,
                            height: int, sample_start, num_samples: int,
                            mesh: Mesh, seed: int = 1984,
@@ -251,6 +282,7 @@ def render_samples_sharded(scene, cam_data, width: int,
       * "megakernel" — resident-SMEM Pallas kernel (DeviceScene, small)
       * "bricks"     — persistent-lane brick tracer (BrickSet)
       * "wavefront"  — sorted-wavefront brick tracer (BrickSet)
+      * "mx"         — MXU Plucker-matmul tracer (MXSet; pure XLA)
     ``interpret=True`` runs the Pallas paths in interpreter mode (CPU mesh
     tests)."""
     start = jnp.asarray(sample_start, jnp.uint32)
@@ -264,6 +296,21 @@ def render_samples_sharded(scene, cam_data, width: int,
         return _render_sharded_bricks(
             scene, cam_data, start, width, height, num_samples, seed,
             max_depth, mesh, interpret, rr_start_depth)
+    if mode == "mx":
+        from ..ops.wavefront import _wave_layout, WAVE_ROWS
+        import numpy as _np
+        pix_slots, n_blocks = _wave_layout(width, height)
+        n_tiles = mesh.shape[TILE_AXIS]
+        if n_blocks % n_tiles:
+            pad_blocks = (-(-n_blocks // n_tiles) * n_tiles) - n_blocks
+            pad = _np.full(pad_blocks * WAVE_ROWS * LANES,
+                           width * height, _np.int32)
+            pix_slots = _np.concatenate([pix_slots, pad])
+        slots = jax.device_put(jnp.asarray(pix_slots),
+                               NamedSharding(mesh, P(TILE_AXIS)))
+        return _render_sharded_mx(
+            scene, cam_data, slots, start, width, height, num_samples,
+            seed, max_depth, mesh, rr_start_depth, sort_mode, nee)
     if mode == "wavefront":
         from ..ops.wavefront import _wave_layout
         import numpy as _np

@@ -23,8 +23,10 @@ import numpy as np
 
 from ..models.bricks import BrickSet
 from ..models.device_scene import DeviceScene
+from ..models.mxset import MXSet
 from ..models.scenepack import ScenePack, load_scene
 from ..ops.brickkernel import render_samples_bricks
+from ..ops.mxtrace import render_samples_mx
 from ..ops.wavefront import render_samples_wavefront
 from ..ops.camera import Camera, camera_ray_data
 from ..ops.integrator import MAX_DEPTH, render_samples
@@ -37,20 +39,24 @@ def _render_mode(pack, width: int, height: int,
                  large_scene_mode: str = "wavefront") -> str:
     """Static dispatch between the compute paths:
       * "megakernel" — small scenes, resident-SMEM Pallas kernel
-      * "wavefront"  — large triangle scenes, sorted-wavefront brick tracer
+      * "mx"         — large triangle scenes, MXU Plucker-matmul wavefront
+      * "wavefront"  — same scenes, sorted-wavefront Pallas brick tracer
       * "bricks"     — same scenes, persistent-lane brick tracer (opt-in
                        via RenderConfig.large_scene_mode)
       * "xla"        — CPU test platform (Mosaic only targets TPU) and the
                        rare large sphere-only scene
 
-    Accepts a ScenePack, a DeviceScene (has the same count attributes) or a
-    prebuilt BrickSet (pins the large-scene path — it has no prim counts).
+    Accepts a ScenePack, a DeviceScene (has the same count attributes), a
+    prebuilt BrickSet or MXSet (pins the large-scene path).
     """
+    if isinstance(pack, MXSet):
+        return "mx"
     if isinstance(pack, BrickSet):
-        return large_scene_mode
+        return large_scene_mode if large_scene_mode != "mx" else "wavefront"
     if jax.default_backend() in ("cpu", "gpu"):
         return "xla"
-    if width * height >= 2 ** 24 and large_scene_mode != "wavefront":
+    if (width * height >= 2 ** 24
+            and large_scene_mode not in ("wavefront", "mx")):
         return "xla"   # megakernel/bricks reconstruct pixel indices in f32
     if pack.num_prims <= MEGAKERNEL_MAX_PRIMS:
         if width * height >= 2 ** 24:
@@ -74,6 +80,10 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
                                     sample_start, num_samples, seed,
                                     max_depth, rr_start_depth=rr_start_depth,
                                     nee=nee)
+    elif mode == "mx":
+        new = render_samples_mx(scene, cam_data, width, height,
+                                sample_start, num_samples, seed, max_depth,
+                                rr_start_depth=rr_start_depth, nee=nee)
     elif mode == "wavefront":
         new = render_samples_wavefront(scene, cam_data, width, height,
                                        sample_start, num_samples, seed,
@@ -105,10 +115,14 @@ class ProgressiveRenderer:
             # wavefront (same BrickSet) does
             self.mode = "wavefront"
         if isinstance(scene, ScenePack):
-            if self.mode in ("bricks", "wavefront"):
+            if self.mode == "mx":
+                scene = MXSet.from_pack(scene)
+            elif self.mode in ("bricks", "wavefront"):
                 scene = BrickSet.from_pack(scene)
             else:
                 scene = DeviceScene.from_pack(scene)
+        elif self.mode == "mx" and not isinstance(scene, MXSet):
+            self.mode = "xla"   # caller handed a prebuilt DeviceScene
         elif (self.mode in ("bricks", "wavefront")
               and not isinstance(scene, BrickSet)):
             self.mode = "xla"   # caller handed a prebuilt DeviceScene

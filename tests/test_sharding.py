@@ -121,3 +121,17 @@ def test_sharded_wavefront_matches_single(teapot_scene):
     # tile shards sort/trace disjoint ray sets; per-ray radiance is
     # identical, pixel sums differ only by fp reduction order
     np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_mx_matches_single(teapot_scene):
+    from pathtracer_cuda_interactive_tpu.models.mxset import MXSet
+    from pathtracer_cuda_interactive_tpu.ops.mxtrace import render_samples_mx
+    pack, _, cd = teapot_scene
+    mx = MXSet.from_pack(pack)
+    mesh = sh.make_mesh(sample_parallel=2)
+    mx_r = sh.replicate_scene(mx, mesh)
+    img = np.asarray(sh.render_samples_sharded(
+        mx_r, cd, W, H, jnp.uint32(0), 3, mesh, mode="mx", max_depth=3))
+    ref = np.asarray(render_samples_mx(
+        mx, cd, W, H, jnp.uint32(0), 3, max_depth=3))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
