@@ -168,6 +168,71 @@ def radiance(scene: DeviceScene, org: Vec3, dirn: Vec3,
     return st[3]
 
 
+def radiance_with_ray_count(scene: DeviceScene, org: Vec3, dirn: Vec3,
+                            state: jnp.ndarray, max_depth: int = MAX_DEPTH,
+                            nee: bool = False,
+                            rr_start_depth: int = RR_START_DEPTH):
+    """radiance() plus the number of rays actually traced (the camera ray
+    and every surviving bounce ray; NEE shadow rays would add L per hit on
+    top).  Feeds the Mrays/s metric (BASELINE.md north star is stated in
+    rays/s, not samples/s): avg path length = rays / samples, so
+    Mrays/s = Msamples/s x avg_path_length."""
+    shape = state.shape
+    L = Vec3.zeros(shape)
+    T = Vec3.full(shape, (1.0, 1.0, 1.0))
+    active = jnp.ones(shape, bool)
+    tnear = jnp.zeros(shape, jnp.float32)
+    depth = jnp.int32(0)
+    nrays = jnp.zeros((), jnp.float32)
+
+    def cond(st):
+        return (st[7] < max_depth) & jnp.any(st[4])
+
+    def body(st):
+        org, dirn, T, L, active, tnear, state, depth, nrays = st
+        nrays = nrays + jnp.sum(active.astype(jnp.float32))
+        org, dirn, T, L, active, tnear, state = _bounce(
+            scene, org, dirn, T, L, active, tnear, state, depth, nee,
+            rr_start_depth)
+        return org, dirn, T, L, active, tnear, state, depth + 1, nrays
+
+    st = (org, dirn, T, L, active, tnear, state, depth, nrays)
+    st = lax.while_loop(cond, body, st)
+    return st[3], st[8]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
+                                   "max_depth", "nee", "rr_start_depth"))
+def measure_path_stats(scene: DeviceScene, cam_data: jnp.ndarray, width: int,
+                       height: int, sample_start, num_samples: int = 1,
+                       seed: int = 1984, max_depth: int = MAX_DEPTH,
+                       nee: bool = False,
+                       rr_start_depth: int = RR_START_DEPTH):
+    """(total_rays, total_samples) over a frame — avg path length is their
+    ratio.  Path length is a property of the scene + integrator semantics
+    (radiance.cuh:24-77), not of the compute path, so the XLA oracle's
+    count applies to the megakernel/wavefront/mx numbers too."""
+    pix, valid, rows = _pixel_grid(width, height)
+    i = (pix % width).astype(jnp.float32)
+    j = (pix // width).astype(jnp.float32)
+
+    def one_sample(k, acc):
+        state = rng.seed_rays(pix, sample_start + k, seed)
+        state, u1 = rng.next_uniform(state)
+        state, u2 = rng.next_uniform(state)
+        org, dirn = camera.generate_primary_rays(
+            cam_data, (i + u1) / width, (j + u2) / height)
+        # padding lanes (pix >= W*H) do trace; correct for them by ratio
+        _, nrays = radiance_with_ray_count(scene, org, dirn, state,
+                                           max_depth, nee, rr_start_depth)
+        return acc + nrays
+
+    total = lax.fori_loop(0, num_samples, one_sample,
+                          jnp.zeros((), jnp.float32))
+    frac_real = (width * height) / float(rows * LANES)
+    return total * frac_real, jnp.float32(width * height * num_samples)
+
+
 def radiance_fixed(scene: DeviceScene, org: Vec3, dirn: Vec3, state,
                    num_bounces: int, use_rr: bool = True,
                    nee: bool = False,

@@ -355,28 +355,40 @@ def effective_samples(num_samples: int, mesh: Mesh) -> int:
 
 def scaling_report(width: int = 640, height: int = 480,
                    num_samples: int = 8, scene=None, cam_data=None,
-                   repeats: int = 3) -> dict:
-    """Measure rays/s on 1 device vs the full mesh (SURVEY.md §6 scaling
-    efficiency target ≥80%).  Returns {n_devices, speedup, efficiency}."""
+                   repeats: int = 3, mode: str = "xla",
+                   interpret: bool = False) -> dict:
+    """Measure renders/s on 1 device vs the full mesh (SURVEY.md §6 scaling
+    efficiency target ≥80%) for any compute path (``mode`` as in
+    render_samples_sharded — the fast paths, not just the xla oracle).
+    Returns {n_devices, mode, speedup, efficiency}.
+
+    Timing syncs through an actual device->host readback: on the tunneled
+    TPU platform ``block_until_ready`` can return before execution
+    finishes, which silently turns the measurement into dispatch latency
+    (tools/probe_hw.py documents this)."""
     import time
 
     def run(mesh):
         scene_m = replicate_scene(scene, mesh)
         cam_m = jax.device_put(cam_data, NamedSharding(mesh, P()))
         out = render_samples_sharded(scene_m, cam_m, width, height,
-                                     jnp.uint32(0), num_samples, mesh)
-        out.block_until_ready()
+                                     jnp.uint32(0), num_samples, mesh,
+                                     mode=mode, interpret=interpret)
+        np.asarray(out).sum()
         t0 = time.perf_counter()
+        acc = None
         for k in range(repeats):
             out = render_samples_sharded(scene_m, cam_m, width, height,
                                          jnp.uint32(k + 1), num_samples,
-                                         mesh)
-        out.block_until_ready()
+                                         mesh, mode=mode,
+                                         interpret=interpret)
+            acc = out if acc is None else acc + out
+        np.asarray(acc).sum()
         return repeats / (time.perf_counter() - t0)
 
     devs = jax.devices()
     f1 = run(make_mesh(devs[:1]))
     fN = run(make_mesh(devs))
     n = len(devs)
-    return {"n_devices": n, "speedup": fN / f1,
+    return {"n_devices": n, "mode": mode, "speedup": fN / f1,
             "efficiency": fN / f1 / n}

@@ -32,12 +32,15 @@ class RenderConfig:
     sync_each_frame: bool = True
     # next-event estimation for point lights — a beyond-reference
     # capability (the reference parses point lights but never samples
-    # them, SURVEY.md §3.5).  Currently implemented on the XLA path, so
-    # enabling it pins the renderer to that path.
+    # them, SURVEY.md §3.5).  Implemented natively on the xla, megakernel,
+    # wavefront and mx paths; only the persistent brick kernel lacks a
+    # hook, so "bricks" reroutes to "wavefront" when NEE is on
+    # (render/renderer.py).
     enable_nee: bool = False
     # large-triangle-scene compute path: "wavefront" (bounce-synchronous
-    # sorted re-packetization, ops/wavefront.py — the fast default) or
-    # "bricks" (persistent-lane packet kernel, ops/brickkernel.py)
+    # sorted re-packetization, ops/wavefront.py — the default),
+    # "mx" (MXU Plucker-matmul wavefront, ops/mxtrace.py) or "bricks"
+    # (persistent-lane packet kernel, ops/brickkernel.py)
     large_scene_mode: str = "wavefront"
 
 
