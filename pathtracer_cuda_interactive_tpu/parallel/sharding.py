@@ -264,6 +264,39 @@ def _render_sharded_mx(mx, cam_data, pix_slots, sample_start, width, height,
     return fn(mx, cam_data, pix_slots, sample_start)
 
 
+@partial(jax.jit,
+         static_argnames=("width", "height", "num_samples", "seed",
+                          "max_depth", "mesh", "rr_start_depth",
+                          "sort_mode", "nee", "interpret"))
+def _render_sharded_mx2(mx, cam_data, pix_slots, sample_start, width, height,
+                        num_samples, seed, max_depth, mesh,
+                        rr_start_depth=5, sort_mode="mort_oct", nee=False,
+                        interpret=False):
+    """Tile+sample sharding of the Pallas MXU superbrick tracer
+    (ops/mx2.py): slot map sharded over tiles, partial images psum over
+    both axes."""
+    from ..ops.mx2 import render_samples_mx2
+    ns_shard = mesh.shape[SAMPLE_AXIS]
+    ns_local = -(-num_samples // ns_shard)
+
+    def shard_fn(mx, cam_data, pix_slots, sample_start):
+        s_idx = lax.axis_index(SAMPLE_AXIS)
+        local_start = sample_start + (s_idx * ns_local).astype(jnp.uint32)
+        num_real = jnp.clip(num_samples - s_idx * ns_local, 0, ns_local)
+        img = render_samples_mx2(
+            mx, cam_data, width, height, local_start, ns_local, seed,
+            max_depth, rr_start_depth=rr_start_depth, sort_mode=sort_mode,
+            nee=nee, num_real=num_real, pix_slots=pix_slots,
+            interpret=interpret)
+        return lax.psum(img, (SAMPLE_AXIS, TILE_AXIS))
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(TILE_AXIS), P()),
+                       out_specs=P(),
+                       check_vma=False)
+    return fn(mx, cam_data, pix_slots, sample_start)
+
+
 def render_samples_sharded(scene, cam_data, width: int,
                            height: int, sample_start, num_samples: int,
                            mesh: Mesh, seed: int = 1984,
@@ -283,11 +316,28 @@ def render_samples_sharded(scene, cam_data, width: int,
       * "bricks"     — persistent-lane brick tracer (BrickSet)
       * "wavefront"  — sorted-wavefront brick tracer (BrickSet)
       * "mx"         — MXU Plucker-matmul tracer (MXSet; pure XLA)
+      * "mx2"        — Pallas MXU superbrick tracer (MX2Set)
     ``interpret=True`` runs the Pallas paths in interpreter mode (CPU mesh
     tests)."""
     start = jnp.asarray(sample_start, jnp.uint32)
     if mode == "bricks" and nee:
         mode = "wavefront"   # the persistent brick kernel has no NEE hook
+    if mode == "mx2":
+        from ..ops.wavefront import _wave_layout, WAVE_ROWS
+        import numpy as _np
+        pix_slots, n_blocks = _wave_layout(width, height)
+        n_tiles = mesh.shape[TILE_AXIS]
+        if n_blocks % n_tiles:
+            pad_blocks = (-(-n_blocks // n_tiles) * n_tiles) - n_blocks
+            pad = _np.full(pad_blocks * WAVE_ROWS * LANES,
+                           width * height, _np.int32)
+            pix_slots = _np.concatenate([pix_slots, pad])
+        slots = jax.device_put(jnp.asarray(pix_slots),
+                               NamedSharding(mesh, P(TILE_AXIS)))
+        return _render_sharded_mx2(
+            scene, cam_data, slots, start, width, height, num_samples,
+            seed, max_depth, mesh, rr_start_depth, sort_mode, nee,
+            interpret)
     if mode == "megakernel":
         return _render_sharded_megakernel(
             scene, cam_data, start, width, height, num_samples, seed,

@@ -23,9 +23,11 @@ import numpy as np
 
 from ..models.bricks import BrickSet
 from ..models.device_scene import DeviceScene
+from ..models.mx2set import MX2Set
 from ..models.mxset import MXSet
 from ..models.scenepack import ScenePack, load_scene
 from ..ops.brickkernel import render_samples_bricks
+from ..ops.mx2 import render_samples_mx2
 from ..ops.mxtrace import render_samples_mx
 from ..ops.wavefront import render_samples_wavefront
 from ..ops.camera import Camera, camera_ray_data
@@ -39,7 +41,8 @@ def _render_mode(pack, width: int, height: int,
                  large_scene_mode: str = "wavefront") -> str:
     """Static dispatch between the compute paths:
       * "megakernel" — small scenes, resident-SMEM Pallas kernel
-      * "mx"         — large triangle scenes, MXU Plucker-matmul wavefront
+      * "mx2"        — large triangle scenes, Pallas MXU superbrick tracer
+      * "mx"         — same scenes, XLA MXU Plucker-matmul rounds (opt-in)
       * "wavefront"  — same scenes, sorted-wavefront Pallas brick tracer
       * "bricks"     — same scenes, persistent-lane brick tracer (opt-in
                        via RenderConfig.large_scene_mode)
@@ -47,12 +50,15 @@ def _render_mode(pack, width: int, height: int,
                        rare large sphere-only scene
 
     Accepts a ScenePack, a DeviceScene (has the same count attributes), a
-    prebuilt BrickSet or MXSet (pins the large-scene path).
+    prebuilt BrickSet, MXSet or MX2Set (pins the large-scene path).
     """
+    if isinstance(pack, MX2Set):
+        return "mx2"
     if isinstance(pack, MXSet):
         return "mx"
     if isinstance(pack, BrickSet):
-        return large_scene_mode if large_scene_mode != "mx" else "wavefront"
+        return (large_scene_mode if large_scene_mode not in ("mx", "mx2")
+                else "wavefront")
     if jax.default_backend() in ("cpu", "gpu"):
         return "xla"
     if (width * height >= 2 ** 24
@@ -80,6 +86,10 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
                                     sample_start, num_samples, seed,
                                     max_depth, rr_start_depth=rr_start_depth,
                                     nee=nee)
+    elif mode == "mx2":
+        new = render_samples_mx2(scene, cam_data, width, height,
+                                 sample_start, num_samples, seed, max_depth,
+                                 rr_start_depth=rr_start_depth, nee=nee)
     elif mode == "mx":
         new = render_samples_mx(scene, cam_data, width, height,
                                 sample_start, num_samples, seed, max_depth,
@@ -115,12 +125,16 @@ class ProgressiveRenderer:
             # wavefront (same BrickSet) does
             self.mode = "wavefront"
         if isinstance(scene, ScenePack):
-            if self.mode == "mx":
+            if self.mode == "mx2":
+                scene = MX2Set.from_pack(scene)
+            elif self.mode == "mx":
                 scene = MXSet.from_pack(scene)
             elif self.mode in ("bricks", "wavefront"):
                 scene = BrickSet.from_pack(scene)
             else:
                 scene = DeviceScene.from_pack(scene)
+        elif self.mode == "mx2" and not isinstance(scene, MX2Set):
+            self.mode = "xla"   # caller handed a prebuilt DeviceScene
         elif self.mode == "mx" and not isinstance(scene, MXSet):
             self.mode = "xla"   # caller handed a prebuilt DeviceScene
         elif (self.mode in ("bricks", "wavefront")

@@ -29,8 +29,10 @@ W, H, SPF = 640, 480, 2
 def time_mode(pack, cam, mode, frames=4, max_depth=50, **kw):
     import jax.numpy as jnp
     from pathtracer_cuda_interactive_tpu.models.bricks import BrickSet
+    from pathtracer_cuda_interactive_tpu.models.mx2set import MX2Set
     from pathtracer_cuda_interactive_tpu.models.mxset import MXSet
     from pathtracer_cuda_interactive_tpu.ops.camera import camera_ray_data
+    from pathtracer_cuda_interactive_tpu.ops.mx2 import render_samples_mx2
     from pathtracer_cuda_interactive_tpu.ops.mxtrace import render_samples_mx
     from pathtracer_cuda_interactive_tpu.ops.wavefront import (
         render_samples_wavefront)
@@ -38,7 +40,11 @@ def time_mode(pack, cam, mode, frames=4, max_depth=50, **kw):
 
     cd = jnp.asarray(camera_ray_data(cam, W, H))
     t0 = time.perf_counter()
-    if mode == "mx":
+    if mode == "mx2":
+        scene = jax.device_put(MX2Set.from_pack(pack))
+        fn = lambda s0: render_samples_mx2(scene, cd, W, H, jnp.uint32(s0),
+                                           SPF, max_depth=max_depth, **kw)
+    elif mode == "mx":
         scene = jax.device_put(MXSet.from_pack(pack))
         fn = lambda s0: render_samples_mx(scene, cd, W, H, jnp.uint32(s0),
                                           SPF, max_depth=max_depth, **kw)
@@ -75,7 +81,7 @@ def main():
     ap.add_argument("--scene", default="bunny", choices=SCENES)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--max-depth", type=int, default=50)
-    ap.add_argument("--modes", default="wavefront,mx")
+    ap.add_argument("--modes", default="wavefront,mx2")
     args = ap.parse_args()
 
     from pathtracer_cuda_interactive_tpu.models.scenepack import load_scene
