@@ -18,6 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pathtracer_cuda_interactive_tpu.utils.config import setup_jax  # noqa: E402
+setup_jax()
+
 SCENES = {
     "bunny": "/root/reference/scenes/bunny/bunny.xml",
     "cbox": "/root/reference/scenes/cbox/cbox.xml",

@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax                      # noqa: E402
 import jax.numpy as jnp         # noqa: E402
 
+from pathtracer_cuda_interactive_tpu.utils.config import setup_jax  # noqa: E402
+setup_jax()
+
 
 def timed(f, *args, n=5):
     """Mean seconds per execution, synced by chained readback."""

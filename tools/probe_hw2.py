@@ -22,6 +22,9 @@ import jax                      # noqa: E402
 import jax.numpy as jnp         # noqa: E402
 from jax import lax             # noqa: E402
 
+from pathtracer_cuda_interactive_tpu.utils.config import setup_jax  # noqa: E402
+setup_jax()
+
 REPS = 10
 R = 614400
 M, B = 4800, 576
