@@ -206,7 +206,11 @@ class ProgressiveRenderer:
             ns, self.config.seed, self.config.max_depth, self.mode,
             self.config.enable_nee, self.config.rr_start_depth)
         if sync:
-            self.accum.block_until_ready()
+            # A 4-byte dependent readback, not block_until_ready: on the
+            # tunneled TPU platform block_until_ready can return before
+            # device completion (tools/probe_hw.py), which would make
+            # frame_ms (and the viewer FPS overlay) fiction.
+            np.asarray(self.accum[:1, :1, :1])
         self.frame_ms = (time.perf_counter() - t0) * 1e3
         self.sample_count += ns
 

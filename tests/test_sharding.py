@@ -135,3 +135,18 @@ def test_sharded_mx_matches_single(teapot_scene):
     ref = np.asarray(render_samples_mx(
         mx, cd, W, H, jnp.uint32(0), 3, max_depth=3))
     np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_mx2_matches_single(teapot_scene):
+    from pathtracer_cuda_interactive_tpu.models.mx2set import MX2Set
+    from pathtracer_cuda_interactive_tpu.ops.mx2 import render_samples_mx2
+    pack, _, cd = teapot_scene
+    mx = MX2Set.from_pack(pack)
+    mesh = sh.make_mesh(sample_parallel=2)
+    mx_r = sh.replicate_scene(mx, mesh)
+    img = np.asarray(sh.render_samples_sharded(
+        mx_r, cd, W, H, jnp.uint32(0), 3, mesh, mode="mx2", max_depth=3,
+        interpret=True))
+    ref = np.asarray(render_samples_mx2(
+        mx, cd, W, H, jnp.uint32(0), 3, max_depth=3, interpret=True))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-5)
