@@ -63,7 +63,12 @@ INF = float("inf")
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _make_mx2_kernel(M: int, Bpad: int):
+PACKETS_PER_BLOCK = 8     # Mosaic block shapes need sublane multiples of 8
+
+
+def _make_mx2_kernel(Mblocks: int, Bpad: int):
+    PK = PACKETS_PER_BLOCK
+
     def kernel(tn_ref, shift_ref, ox, oy, oz, dx, dy, dz, act,
                order_hbm, slb_hbm, subbox_hbm, coeff_hbm,
                out_t, out_slot,
@@ -72,43 +77,30 @@ def _make_mx2_kernel(M: int, Bpad: int):
         i = pl.program_id(0)
         par = lax.rem(i, 2)
 
-        # --- packet visit list: double-buffered across grid steps --------
-        def start_list(slot, m):
-            pltpu.make_async_copy(order_hbm.at[m], order_s.at[slot],
+        # --- 8 packets' visit lists: double-buffered across grid steps ---
+        def start_list(slot, blk):
+            pltpu.make_async_copy(order_hbm.at[pl.ds(blk * PK, PK)],
+                                  order_s.at[slot],
                                   sem_ord.at[slot]).start()
-            pltpu.make_async_copy(slb_hbm.at[m], slb_s.at[slot],
+            pltpu.make_async_copy(slb_hbm.at[pl.ds(blk * PK, PK)],
+                                  slb_s.at[slot],
                                   sem_slb.at[slot]).start()
 
         @pl.when(i == 0)
         def _():
             start_list(0, i)
 
-        pltpu.make_async_copy(order_hbm.at[i], order_s.at[par],
+        pltpu.make_async_copy(order_hbm.at[pl.ds(0, PK)], order_s.at[par],
                               sem_ord.at[par]).wait()
-        pltpu.make_async_copy(slb_hbm.at[i], slb_s.at[par],
+        pltpu.make_async_copy(slb_hbm.at[pl.ds(0, PK)], slb_s.at[par],
                               sem_slb.at[par]).wait()
 
-        @pl.when(i + 1 < M)
+        @pl.when(i + 1 < Mblocks)
         def _():
             start_list(1 - par, i + 1)
 
         tnear = tn_ref[0, 0]
         sx, sy, sz = shift_ref[0, 0], shift_ref[0, 1], shift_ref[0, 2]
-        org = Vec3(ox[:], oy[:], oz[:])               # [1,128]
-        dirn = Vec3(dx[:], dy[:], dz[:])
-        actv = act[:] > 0.0
-        inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
-
-        # ray features [16,128]: [o - shift, d, (o-shift) x d, 1, 0...]
-        osx, osy, osz = org.x - sx, org.y - sy, org.z - sz
-        cxr = osy * dirn.z - osz * dirn.y
-        cyr = osz * dirn.x - osx * dirn.z
-        czr = osx * dirn.y - osy * dirn.x
-        one = jnp.ones_like(org.x)
-        zero = jnp.zeros_like(org.x)
-        feats = jnp.concatenate(
-            [osx, osy, osz, dirn.x, dirn.y, dirn.z, cxr, cyr, czr, one,
-             zero, zero, zero, zero, zero, zero], axis=0)     # [16,128]
 
         def start_brick(buf, b):
             pltpu.make_async_copy(coeff_hbm.at[b],
@@ -118,7 +110,7 @@ def _make_mx2_kernel(M: int, Bpad: int):
             pltpu.make_async_copy(subbox_hbm.at[b], subbox_buf.at[buf],
                                   sem_sub.at[buf]).start()
 
-        def sub_pass(s, b, buf, bt, bs):
+        def sub_pass(s, b, buf, bt, bs, org, dirn, inv, actv, feats):
             """One sub-brick: scalar-box cull, then the MXU pass."""
             base = s * 8
             bmnx = subbox_buf[buf, base]
@@ -174,49 +166,70 @@ def _make_mx2_kernel(M: int, Bpad: int):
 
             return lax.cond(anyhit, do, lambda c: c, (bt, bs))
 
-        bt0 = jnp.full((1, LANES), INF, jnp.float32)
-        bs0 = jnp.full((1, LANES), -1, jnp.int32)
-        c0 = (slb_s[par, 0] < INF) & jnp.any(actv)
+        # --- the 8 packets of this block, sequentially ------------------
+        for p in range(PK):
+            org = Vec3(ox[p:p + 1, :], oy[p:p + 1, :], oz[p:p + 1, :])
+            dirn = Vec3(dx[p:p + 1, :], dy[p:p + 1, :], dz[p:p + 1, :])
+            actv = act[p:p + 1, :] > 0.0
+            inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
 
-        @pl.when(c0)
-        def _():
-            start_brick(0, order_s[par, 0])
+            # ray features [16,128]: [o-shift, d, (o-shift) x d, 1, 0...]
+            osx, osy, osz = org.x - sx, org.y - sy, org.z - sz
+            cxr = osy * dirn.z - osz * dirn.y
+            cyr = osz * dirn.x - osx * dirn.z
+            czr = osx * dirn.y - osy * dirn.x
+            one = jnp.ones_like(org.x)
+            zero = jnp.zeros_like(org.x)
+            feats = jnp.concatenate(
+                [osx, osy, osz, dirn.x, dirn.y, dirn.z, cxr, cyr, czr,
+                 one, zero, zero, zero, zero, zero, zero], axis=0)
 
-        def cond(st):
-            return st[1]
+            bt0 = jnp.full((1, LANES), INF, jnp.float32)
+            bs0 = jnp.full((1, LANES), -1, jnp.int32)
+            c0 = (slb_s[par, p, 0] < INF) & jnp.any(actv)
 
-        def body(st):
-            r, _pend, bt, bs = st
-            buf = lax.rem(r, 2)
-            pltpu.make_async_copy(coeff_hbm.at[0],
-                                  coeff_buf.at[pl.ds(buf * SLAB_ROWS,
-                                                     SLAB_ROWS), :],
-                                  sem_coeff.at[buf]).wait()
-            pltpu.make_async_copy(subbox_hbm.at[0], subbox_buf.at[buf],
-                                  sem_sub.at[buf]).wait()
-            b = order_s[par, r]
+            @pl.when(c0)
+            def _(p=p):
+                start_brick(0, order_s[par, p, 0])
 
-            # prefetch r+1 with the PRE-update best-t (superset of the true
-            # continue condition; see module docstring invariant)
-            nxt = jnp.minimum(r + 1, Bpad - 1)
-            sl_n = slb_s[par, nxt]
-            need_n = ((r + 1 < Bpad) & (sl_n < INF)
-                      & jnp.any(actv & (bt > sl_n)))
+            def cond(st):
+                return st[1]
 
-            @pl.when(need_n)
-            def _():
-                start_brick(1 - buf, order_s[par, nxt])
+            def body(st, p=p, org=org, dirn=dirn, inv=inv, actv=actv,
+                     feats=feats):
+                r, _pend, bt, bs = st
+                buf = lax.rem(r, 2)
+                pltpu.make_async_copy(
+                    coeff_hbm.at[0],
+                    coeff_buf.at[pl.ds(buf * SLAB_ROWS, SLAB_ROWS), :],
+                    sem_coeff.at[buf]).wait()
+                pltpu.make_async_copy(subbox_hbm.at[0],
+                                      subbox_buf.at[buf],
+                                      sem_sub.at[buf]).wait()
+                b = order_s[par, p, r]
 
-            def sub_body(s, carry):
-                bt, bs = carry
-                return sub_pass(s, b, buf, bt, bs)
+                # prefetch r+1 with the PRE-update best-t (superset of the
+                # true continue condition; see module docstring invariant)
+                nxt = jnp.minimum(r + 1, Bpad - 1)
+                sl_n = slb_s[par, p, nxt]
+                need_n = ((r + 1 < Bpad) & (sl_n < INF)
+                          & jnp.any(actv & (bt > sl_n)))
 
-            bt, bs = lax.fori_loop(0, NUM_SUBS, sub_body, (bt, bs))
-            return (r + 1, need_n, bt, bs)
+                @pl.when(need_n)
+                def _():
+                    start_brick(1 - buf, order_s[par, p, nxt])
 
-        st = lax.while_loop(cond, body, (jnp.int32(0), c0, bt0, bs0))
-        out_t[:] = jnp.where(actv, st[2], INF)
-        out_slot[:] = st[3]
+                def sub_body(s, carry):
+                    bt, bs = carry
+                    return sub_pass(s, b, buf, bt, bs, org, dirn, inv,
+                                    actv, feats)
+
+                bt, bs = lax.fori_loop(0, NUM_SUBS, sub_body, (bt, bs))
+                return (r + 1, need_n, bt, bs)
+
+            st = lax.while_loop(cond, body, (jnp.int32(0), c0, bt0, bs0))
+            out_t[p:p + 1, :] = jnp.where(actv, st[2], INF)
+            out_slot[p:p + 1, :] = st[3]
 
     return kernel
 
@@ -226,11 +239,14 @@ def _trace_kernel_mx2(coeff, subbox, order, slb, ox, oy, oz, dx, dy, dz,
     """Launch the packet kernel over all rows of a wave.  Ray SoA arrays
     are [M, 128]; order/slb are the cull's [M, Bpad] visit lists."""
     M = ox.shape[0]
+    PK = PACKETS_PER_BLOCK
+    assert M % PK == 0, M
+    Mblocks = M // PK
     Bpad = order.shape[1]
     tn = jnp.full((1, 1), tnear, jnp.float32)
     sh = jnp.zeros((1, 4), jnp.float32).at[0, :3].set(shift)
 
-    row = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+    blk = pl.BlockSpec((PK, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.SMEM)
@@ -238,16 +254,16 @@ def _trace_kernel_mx2(coeff, subbox, order, slb, ox, oy, oz, dx, dy, dz,
     out_shape = (jax.ShapeDtypeStruct((M, LANES), jnp.float32),
                  jax.ShapeDtypeStruct((M, LANES), jnp.int32))
     return pl.pallas_call(
-        _make_mx2_kernel(M, Bpad),
-        grid=(M,),
+        _make_mx2_kernel(Mblocks, Bpad),
+        grid=(Mblocks,),
         in_specs=[smem((1, 1)), smem((1, 4))]
-                 + [row] * 7 + [any_] * 4,
-        out_specs=(row, row),
+                 + [blk] * 7 + [any_] * 4,
+        out_specs=(blk, blk),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2 * SLAB_ROWS, 128), jnp.float32),
                         pltpu.SMEM((2, 128), jnp.float32),
-                        pltpu.SMEM((2, Bpad), jnp.int32),
-                        pltpu.SMEM((2, Bpad), jnp.float32),
+                        pltpu.SMEM((2, PK, Bpad), jnp.int32),
+                        pltpu.SMEM((2, PK, Bpad), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -270,8 +286,11 @@ def _trace_mx2(mx, org: Vec3, dirn: Vec3, tnear: float, active,
     Bpad = -(-B // 128) * 128
 
     lb = _interval_cull(org, dirn, active, mx.brick_lo, mx.brick_hi, tnear)
-    order = jnp.argsort(lb, axis=1).astype(jnp.int32)           # [M,B]
-    slb = jnp.take_along_axis(lb, order, axis=1)
+    # near-order via a key+payload lax.sort: measured 3.8 ms at [4800,576]
+    # where jnp.argsort + take_along_axis costs 32 ms (tools/probe_hw2.py)
+    iota = jnp.broadcast_to(
+        jnp.arange(lb.shape[1], dtype=jnp.int32)[None, :], lb.shape)
+    slb, order = lax.sort((lb, iota), num_keys=1, dimension=1)
     if Bpad > B:
         order = jnp.pad(order, ((0, 0), (0, Bpad - B)))
         slb = jnp.pad(slb, ((0, 0), (0, Bpad - B)),

@@ -180,8 +180,11 @@ def _trace_mx(coeff, brick_lo, brick_hi, tri_rows, sph_rows,
               S: int, B: int, T: int):
     shape = org.x.shape
     lb = _interval_cull(org, dirn, active, brick_lo, brick_hi, tnear)
-    order = jnp.argsort(lb, axis=1).astype(jnp.int32)
-    slb = jnp.take_along_axis(lb, order, axis=1)
+    # key+payload lax.sort: 8.5x cheaper than argsort+take_along_axis at
+    # this shape (tools/probe_hw2.py cull_* probes)
+    iota = jnp.broadcast_to(
+        jnp.arange(lb.shape[1], dtype=jnp.int32)[None, :], lb.shape)
+    slb, order = lax.sort((lb, iota), num_keys=1, dimension=1)
     feats = _features(org, dirn)
     t, u, v, slot = _mx_rounds(coeff, order, slb, feats, active, tnear,
                                T, B)
