@@ -156,7 +156,10 @@ def _make_mx2_kernel(Mblocks: int, Bpad: int):
                 tv = jnp.where(valid, tt, INF)
                 tmin = jnp.min(tv, axis=0, keepdims=True)     # [1,128]
                 better = tmin < bt
-                io = lax.broadcasted_iota(jnp.float32, tv.shape, 0)
+                # Mosaic's tpu.iota only yields integer vectors; build the
+                # f32 row index by converting
+                io = lax.broadcasted_iota(
+                    jnp.int32, tv.shape, 0).astype(jnp.float32)
                 jsel = jnp.min(jnp.where(tv == tmin, io, INF), axis=0,
                                keepdims=True)
                 slot = (b * SB_PRIMS + s * SUB_PRIMS

@@ -42,11 +42,16 @@ from . import rng
 from .geometry import intersect_sphere
 from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
 from .vec import Vec3, where
-from .wavefront import (MAX_RAYS_PER_WAVE, _nee_term, _shade, _sort_key,
-                        _wave_layout, camera_rays)
+from .wavefront import (_nee_term, _shade, _sort_key, _wave_layout,
+                        camera_rays)
 
 INF = float("inf")
 MX_PACKET = 128          # rays per cull packet == one [1, 128] SoA row
+# Wave cap for THIS path, far below wavefront's 2^21: each _mx_rounds
+# iteration materializes a [M, 128, 4T] f32 intermediate (M = wave/128),
+# so a 2^21-ray wave would stage ~4.3 GB per round (ADVICE r2).  2^18
+# bounds it at ~540 MB; one full 640x480 frame still fits a single wave.
+MX_MAX_RAYS_PER_WAVE = 1 << 18
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +359,7 @@ def render_samples_mx(mx: MXSet, cam_data, width: int, height: int,
             [jnp.asarray(mx.light_pos, jnp.float32),
              jnp.asarray(mx.light_intensity, jnp.float32)], axis=1)
 
-    chunk = max(1, MAX_RAYS_PER_WAVE // n_slots)
+    chunk = max(1, MX_MAX_RAYS_PER_WAVE // n_slots)
     acc = None
     done = 0
     while done < num_samples:

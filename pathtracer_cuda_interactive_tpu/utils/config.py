@@ -38,9 +38,11 @@ class RenderConfig:
     # (render/renderer.py).
     enable_nee: bool = False
     # large-triangle-scene compute path: "wavefront" (bounce-synchronous
-    # sorted re-packetization, ops/wavefront.py — the default),
-    # "mx" (MXU Plucker-matmul wavefront, ops/mxtrace.py) or "bricks"
-    # (persistent-lane packet kernel, ops/brickkernel.py)
+    # sorted re-packetization, ops/wavefront.py — the default, and the
+    # measured winner on real TPU, BENCH_r03), "mx2" (Pallas MXU
+    # superbrick tracer, ops/mx2.py), "mx" (XLA MXU Plucker-matmul
+    # rounds, ops/mxtrace.py) or "bricks" (persistent-lane packet
+    # kernel, ops/brickkernel.py)
     large_scene_mode: str = "wavefront"
 
 
