@@ -164,8 +164,10 @@ def main() -> int:
         extra["cbox_mrays_error"] = f"{type(e).__name__}: {e}"[:160]
 
     # ---- bunny: both large-scene paths, report the measured winner ----
+    # wavefront first: it is the known-fast path, and the mx2 compile
+    # (~4 min uncached) must never crowd the winner out of the budget
     results = {}
-    for mode in ("mx2", "wavefront"):
+    for mode in ("wavefront", "mx2"):
         if time.perf_counter() - BENCH_T0 > TIME_BUDGET_S - 120:
             break
         try:

@@ -55,6 +55,12 @@ BLOCK_ROWS = 16
 TILE = (64, 32)
 INF = float("inf")
 
+# Perf-attribution switch (tools/bench_wavefront.py): "tri" drops the
+# per-triangle loop, "dma" drops the brick fetch, "" is production.
+# Renders are WRONG under either skip; never set outside microbenches.
+import os as _os
+_DEBUG_SKIP = _os.environ.get("PT_DEBUG_SKIP", "")
+
 
 def _brick_scalar(scratch, k, j):
     """Prim k (0..BRICK_PRIMS-1), float j (0..31) from the
@@ -78,6 +84,23 @@ def _select16(best, closer, t, ns, pos, attrs):
             sel(mt, bmt), sel(ar, bar), sel(ag, bag), sel(ab, bab),
             sel(mp, bmp), sel(er, ber), sel(eg, beg), sel(eb, beb),
             sel(em, bem))
+
+
+def _tri_slot_body(read_vec, k, brick, best, org, dirn, tnear):
+    """Slim per-triangle test: track only (best_t, best_slot).  The ~50
+    vector ops of attribute interpolation + 16-wide winner select in
+    _tri_record_body run per TESTED triangle; this body spends ~30 ops and
+    the attributes of the single WINNING slot are recovered afterwards in
+    XLA by one gather (ops/wavefront.py::_record_from_slots).  slot =
+    brick * BRICK_PRIMS + k, the row of the flattened prim-record table."""
+    p0 = read_vec(k, 1)
+    e1 = read_vec(k, 4)
+    e2 = read_vec(k, 7)
+    bt, bslot = best
+    t, u, v, hit = _tri_test(p0, e1, e2, org, dirn, tnear, bt)
+    closer = hit & (t < bt)
+    slot = (brick * BRICK_PRIMS + k).astype(jnp.float32)
+    return (jnp.where(closer, t, bt), jnp.where(closer, slot, bslot))
 
 
 def _tri_record_body(read_vec, read_sc, k, best, org, dirn, tnear):
@@ -110,7 +133,7 @@ def _tri_record_body(read_vec, read_sc, k, best, org, dirn, tnear):
 
 def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                          scratch, stack_ref, sem, S: int,
-                         collect_stats: bool = False):
+                         collect_stats: bool = False, slim: bool = False):
     """Build the packet closest-hit closure over the SMEM top tree + DMA'd
     bricks.  Shared by the persistent-lane kernel below and the one-bounce
     wavefront trace kernel (ops/wavefront.py).  The returned
@@ -124,7 +147,13 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
 
     def intersect(org, dirn, tnear, shape, active):
         zero = jnp.zeros(shape, jnp.float32)
-        best = (jnp.full(shape, INF, jnp.float32),) + (zero,) * 15
+        if slim:
+            # (best_t, best_slot) only; spheres + attributes are the
+            # caller's XLA epilogue (wavefront._record_from_slots)
+            best = (jnp.full(shape, INF, jnp.float32),
+                    jnp.full(shape, -1.0, jnp.float32))
+        else:
+            best = (jnp.full(shape, INF, jnp.float32),) + (zero,) * 15
 
         # -- resident spheres (megakernel sphere_body semantics)
         def sphere_body(k, best):
@@ -140,7 +169,7 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                           for j in (19, 20, 21, 22, 23, 24, 25, 26, 27))
             return _select16(best, closer, t, ns, pos, attrs)
 
-        if S > 0:
+        if S > 0 and not slim:
             best = lax.fori_loop(0, S, sphere_body, best)
 
         # -- packet walk of the SMEM brick tree
@@ -168,14 +197,22 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
             return jnp.any(hitm)
 
         def process_brick(st):
-            def tri_body(k, best):
-                return _tri_record_body(
-                    lambda kk, j: _brick_svec(scratch, kk, j),
-                    lambda kk, j: _brick_scalar(scratch, kk, j),
-                    k, best, org, dirn, tnear)
+            brick_id = st[1]
+
+            if slim:
+                def tri_body(k, best):
+                    return _tri_slot_body(
+                        lambda kk, j: _brick_svec(scratch, kk, j),
+                        k, brick_id, best, org, dirn, tnear)
+            else:
+                def tri_body(k, best):
+                    return _tri_record_body(
+                        lambda kk, j: _brick_svec(scratch, kk, j),
+                        lambda kk, j: _brick_scalar(scratch, kk, j),
+                        k, best, org, dirn, tnear)
 
             def sub_body(s, st):
-                chunks, best = st[0], st[1:]
+                chunks, best = st[0], st[2:]
                 c = s * 8
                 smn = Vec3(scratch[BRICK_DATA_ROWS, c],
                            scratch[BRICK_DATA_ROWS, c + 1],
@@ -185,14 +222,15 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                            scratch[BRICK_DATA_ROWS, c + 5])
                 valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
                 anyhit = _slab_any(smn, smx, best[0]) & valid
-                best = lax.cond(
-                    anyhit,
-                    lambda b: lax.fori_loop(s * SUB_PRIMS,
-                                            (s + 1) * SUB_PRIMS,
-                                            tri_body, b),
-                    lambda b: b, best)
+                if _DEBUG_SKIP != "tri":
+                    best = lax.cond(
+                        anyhit,
+                        lambda b: lax.fori_loop(s * SUB_PRIMS,
+                                                (s + 1) * SUB_PRIMS,
+                                                tri_body, b),
+                        lambda b: b, best)
                 chunks = chunks + jnp.where(anyhit, 1, 0).astype(jnp.int32)
-                return (chunks,) + best
+                return (chunks, st[1]) + best
 
             return lax.fori_loop(0, NUM_SUBS, sub_body, st)
 
@@ -237,7 +275,7 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
             process = anyhit & (brick >= 0)
             descend = anyhit & (brick < 0)
 
-            @pl.when(process)
+            @pl.when(process & (_DEBUG_SKIP != "dma"))
             def _():
                 dma = pltpu.make_async_copy(bricks_ref.at[brick],
                                             scratch, sem)
@@ -245,8 +283,8 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                 dma.wait()
 
             cs = lax.cond(process, process_brick,
-                          lambda s: s, (chunks,) + best)
-            chunks, best = cs[0], cs[1:]
+                          lambda s: s, (chunks, brick) + best)
+            chunks, best = cs[0], cs[2:]
 
             @pl.when(descend)
             def _():
@@ -267,6 +305,11 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
         zi = jnp.int32(0)
         st = lax.while_loop(cond, body,
                             (jnp.int32(1), zi, zi, zi) + best)
+        if slim:
+            t, slot = st[4:]
+            if collect_stats:
+                return (t, slot, (st[1], st[2], st[3]))
+            return (t, slot)
         (t, nx, ny, nz, px, py, pz, mt, ar, ag, ab, mp,
          er, eg, eb, em) = st[4:]
         out = (t, Vec3(nx, ny, nz), Vec3(px, py, pz), mt,

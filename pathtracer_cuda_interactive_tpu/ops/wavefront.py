@@ -11,7 +11,7 @@ synchronous WAVES over the whole frame's rays, and between waves the rays
 are re-sorted so each [WAVE_ROWS, 128] packet is spatially/directionally
 coherent again:
 
-  wave 0   camera rays in 64x32 screen tiles (already coherent; no sort)
+  wave 0   camera rays in TILE screen tiles (already coherent; no sort)
   wave b   one fused ``lax.sort`` of the live-ray SoA by a coherence key
            (Morton code of the ray origin over the scene box, with the
            direction octant in the low bits; dead rays sort to the end so
@@ -46,16 +46,24 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.bricks import BRICK_ROWS, STACK_DEPTH, BrickSet
+from ..models.bricks import (BRICK_DATA_ROWS, BRICK_ROWS, STACK_DEPTH,
+                             BrickSet)
 from . import brdf, rng
 from .brickkernel import make_brick_intersect
+from .geometry import intersect_sphere
 from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
 from .megakernel import tile_grid
-from .vec import Vec3, dot, max_elem, normalize, where
+from .vec import Vec3, cross, dot, max_elem, normalize, where
 
 # Rays per packet row-block: [WAVE_ROWS, 128] rays share one tree walk.
-WAVE_ROWS = 16
-TILE = (64, 32)              # primary-wave screen tile (WAVE_ROWS*128 px)
+# Swept {8, 16, 32, 64} rows on v5e bunny waves (tools/ microbench, r3):
+# the walk's SCALAR cost (node steps, per-chunk any() reduces, serialized
+# brick DMA) dominates, so FEWER, larger packets win until the union cost
+# catches up — 32 rows (4096 rays) measured best on both primary (49 ms vs
+# 47/55/58 per 307k rays) and scrambled-secondary (711 ms vs 818/939/717)
+# waves.
+WAVE_ROWS = 32
+TILE = (64, 64)              # primary-wave screen tile (WAVE_ROWS*128 px)
 INF = float("inf")
 # Cap on rays per wavefront launch; sample batches beyond this render in
 # chunks (keeps the 17-column live SoA + sort double buffer under ~300 MB).
@@ -98,6 +106,135 @@ def _make_trace_kernel(S: int, collect_stats: bool = False):
             outs[16][:] = sv
 
     return kernel
+
+
+def _make_trace_kernel_slim(S: int):
+    """Slim one-bounce kernel: (best_t, best_slot) out, 2 channels instead
+    of 16.  The inner tri loop runs _tri_slot_body (~30 vector ops/tri vs
+    ~80), spheres and winner attributes move to the XLA epilogue
+    (_record_from_slots).  Measured on v5e bunny: a modest win (~25% off
+    the tri-loop share; the walk's scalar cost dominates the kernel) plus
+    8x less output traffic per wave."""
+
+    def kernel(sph_ref, boxes_ref, links_ref, tn_ref, ox, oy, oz,
+               dx, dy, dz, act, bricks_ref, out_t, out_slot,
+               scratch, stack_ref, sem):
+        intersect = make_brick_intersect(sph_ref, boxes_ref, links_ref,
+                                         bricks_ref, scratch, stack_ref,
+                                         sem, S, slim=True)
+        org = Vec3(ox[:], oy[:], oz[:])
+        dirn = Vec3(dx[:], dy[:], dz[:])
+        shape = org.x.shape
+        active = act[:] > 0.0
+        tnear = jnp.full(shape, tn_ref[0, 0])
+        t, slot = intersect(org, dirn, tnear, shape, active)
+        out_t[:] = t
+        out_slot[:] = slot
+
+    return kernel
+
+
+def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
+                     tnear_scalar, ox, oy, oz, dx, dy, dz, act, S: int,
+                     interpret: bool = False):
+    """Slim trace over all packets of a wave -> (t [rows,128] f32,
+    slot [rows,128] i32; -1 = no triangle hit).  Spheres NOT included —
+    the caller folds them in (_record_from_slots / _sphere_tmin)."""
+    rows = ox.shape[0]
+    n_blocks = rows // WAVE_ROWS
+    tn = jnp.full((1, 1), tnear_scalar, jnp.float32)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((WAVE_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+                      for _ in range(2))
+    t, slot = pl.pallas_call(
+        _make_trace_kernel_slim(S),
+        grid=(n_blocks,),
+        in_specs=[smem(sph_rows.shape), smem(top_boxes.shape),
+                  smem(top_links.shape), smem((1, 1))]
+                 + [ray_spec] * 7
+                 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(ray_spec, ray_spec),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((BRICK_ROWS, 128), jnp.float32),
+                        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(sph_rows, top_boxes, top_links, tn, ox, oy, oz, dx, dy, dz, act,
+      brick_data)
+    return t, slot.astype(jnp.int32)
+
+
+def _sphere_tmin(sph_rows, S: int, org: Vec3, dirn: Vec3, tnear: float, t):
+    """Fold the resident sphere table into a best-t (occlusion queries)."""
+    for j in range(S):
+        c = Vec3(sph_rows[j, 1], sph_rows[j, 2], sph_rows[j, 3])
+        ts, hit = intersect_sphere(c, sph_rows[j, 4], org, dirn, tnear, t)
+        t = jnp.where(hit & (ts < t), ts, t)
+    return t
+
+
+def _record_from_slots(tri_rows, sph_rows, S: int, t, slot, org: Vec3,
+                       dirn: Vec3, tnear: float, active):
+    """Winner-attribute recovery: one 32-float gather per ray + a
+    Moller-Trumbore re-solve for (u, v), then the resident-sphere loop —
+    the same epilogue the MX2 tracer uses (ops/mx2.py::_trace_mx2).
+    Returns the 16-channel hit record of _make_trace_kernel."""
+    shape = org.x.shape
+    rows = jnp.take(tri_rows, jnp.maximum(slot, 0).reshape(-1),
+                    axis=0).reshape(shape + (32,))
+    gv = lambda j: Vec3(rows[..., j], rows[..., j + 1], rows[..., j + 2])
+    p0, e1, e2 = gv(1), gv(4), gv(7)
+    pv = cross(dirn, e2)
+    det = dot(e1, pv)
+    det_s = jnp.where(det == 0.0, 1.0, det)
+    tvec = org - p0
+    u = dot(tvec, pv) / det_s
+    qv = cross(tvec, e1)
+    v = dot(dirn, qv) / det_s
+
+    w = 1.0 - u - v
+    pos = Vec3(p0.x + e1.x * u + e2.x * v,
+               p0.y + e1.y * u + e2.y * v,
+               p0.z + e1.z * u + e2.z * v)
+    n0, n1, n2 = gv(10), gv(13), gv(16)
+    ni = Vec3(n0.x * w + n1.x * u + n2.x * v,
+              n0.y * w + n1.y * u + n2.y * v,
+              n0.z * w + n1.z * u + n2.z * v)
+    ng = cross(e1, e2)
+    smooth = rows[..., 28] > 0.5
+    ns = Vec3(jnp.where(smooth, ni.x, ng.x),
+              jnp.where(smooth, ni.y, ng.y),
+              jnp.where(smooth, ni.z, ng.z))
+    mt, mp = rows[..., 19], rows[..., 23]
+    alb, em = gv(20), gv(24)
+    emit = rows[..., 27]
+    t = jnp.where(slot >= 0, t, INF)
+
+    for j in range(S):
+        c = Vec3(sph_rows[j, 1], sph_rows[j, 2], sph_rows[j, 3])
+        rad = sph_rows[j, 4]
+        ts, hit = intersect_sphere(c, rad, org, dirn, tnear, t)
+        closer = hit & (ts < t) & active
+        spos = Vec3(org.x + dirn.x * ts, org.y + dirn.y * ts,
+                    org.z + dirn.z * ts)
+        sns = Vec3(spos.x - c.x, spos.y - c.y, spos.z - c.z)
+        t = jnp.where(closer, ts, t)
+        pos = where(closer, spos, pos)
+        ns = where(closer, sns, ns)
+        mt = jnp.where(closer, sph_rows[j, 19], mt)
+        mp = jnp.where(closer, sph_rows[j, 23], mp)
+        alb = where(closer, Vec3(sph_rows[j, 20], sph_rows[j, 21],
+                                 sph_rows[j, 22]), alb)
+        em = where(closer, Vec3(sph_rows[j, 24], sph_rows[j, 25],
+                                sph_rows[j, 26]), em)
+        emit = jnp.where(closer, sph_rows[j, 27], emit)
+
+    t = jnp.where(active, t, INF)
+    return (t, ns.x, ns.y, ns.z, pos.x, pos.y, pos.z, mt,
+            alb.x, alb.y, alb.z, mp, em.x, em.y, em.z, emit)
 
 
 def _trace_wave(sph_rows, top_boxes, top_links, brick_data, tnear_scalar,
@@ -312,20 +449,29 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
     L = Vec3.zeros(shape)
     active = valid
 
+    # flattened prim-record table for winner-attribute recovery: prim slot
+    # brick*BRICK_PRIMS+k is row slot of this [B*512, 32] view
+    # (models/bricks.py layout docs); computed once, hoisted out of the
+    # bounce loop by XLA
+    tri_rows = brick_data[:, :BRICK_DATA_ROWS, :].reshape(-1, 32)
+
     def trace_shade(org, dirn, T, L, active, state, depth, tnear):
         act_f = jnp.where(active, 1.0, 0.0)
-        rec = _trace_wave(sph_rows, top_boxes, top_links, brick_data,
-                          tnear, org.x, org.y, org.z,
-                          dirn.x, dirn.y, dirn.z, act_f, S,
-                          interpret=interpret)
+        t, slot = _trace_wave_slim(
+            sph_rows, top_boxes, top_links, brick_data, tnear,
+            org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f, S,
+            interpret=interpret)
+        rec = _record_from_slots(tri_rows, sph_rows, S, t, slot, org,
+                                 dirn, tnear, active)
         if light_rows is not None:
             def shadow_t(sorg, sdir, mask):
-                srec = _trace_wave(
+                st_, _ = _trace_wave_slim(
                     sph_rows, top_boxes, top_links, brick_data,
                     SECONDARY_TNEAR, sorg.x, sorg.y, sorg.z,
                     sdir.x, sdir.y, sdir.z,
                     jnp.where(mask, 1.0, 0.0), S, interpret=interpret)
-                return srec[0]
+                return _sphere_tmin(sph_rows, S, sorg, sdir,
+                                    SECONDARY_TNEAR, st_)
             L = L + _nee_term(rec, dirn, T, active, light_rows, shadow_t)
         return _shade(rec, org, dirn, T, L, active, state, depth, bg3,
                       rr_start_depth, max_depth)
