@@ -68,6 +68,10 @@ class BrickSet:
     # (brick id is -1 for internal nodes).
     top_boxes: np.ndarray   # [ceil(Ntop/16), 128] f32
     top_links: np.ndarray   # [ceil(Ntop/64), 128] i32
+    # per-brick world AABBs (= the SAH leaf boxes), for the XLA-side
+    # packet-vs-brick interval cull of the pair tracer (ops/pairtrace.py)
+    brick_lo: np.ndarray    # [B,3] f32
+    brick_hi: np.ndarray    # [B,3] f32
     # resident sphere table, megakernel row layout
     sph_rows: np.ndarray    # [S_pad, 32] f32
     # background
@@ -151,8 +155,14 @@ def build_bricks(pack: ScenePack) -> BrickSet:
     links[:Ntop, 1] = top.leaf_of_node   # brick id at leaves, -1 internal
     top_links = links.reshape(-1, 128)
 
+    # brick AABBs = the SAH leaf node boxes, in brick (preorder-leaf) order
+    leaf_nodes = np.nonzero(top.leaf_of_node >= 0)[0]
+    brick_lo = top.node_min[leaf_nodes].astype(np.float32)
+    brick_hi = top.node_max[leaf_nodes].astype(np.float32)
+
     return BrickSet(
         brick_data=data,
+        brick_lo=brick_lo, brick_hi=brick_hi,
         top_boxes=top_boxes, top_links=top_links, sph_rows=sph_rows,
         bg_r=np.float32(pack.background[0]),
         bg_g=np.float32(pack.background[1]),

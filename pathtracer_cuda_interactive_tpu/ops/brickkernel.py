@@ -59,7 +59,13 @@ INF = float("inf")
 # per-triangle loop, "dma" drops the brick fetch, "" is production.
 # Renders are WRONG under either skip; never set outside microbenches.
 import os as _os
+import sys as _sys
 _DEBUG_SKIP = _os.environ.get("PT_DEBUG_SKIP", "")
+if _DEBUG_SKIP:
+    print(f"WARNING: PT_DEBUG_SKIP={_DEBUG_SKIP!r} is set — brick-tracer "
+          "kernels will skip work and RENDER WRONG IMAGES.  This switch "
+          "exists only for perf attribution (tools/bench_wavefront.py); "
+          "unset it for any real render.", file=_sys.stderr)
 
 
 def _brick_scalar(scratch, k, j):

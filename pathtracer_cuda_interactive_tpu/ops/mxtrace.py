@@ -55,52 +55,12 @@ MX_MAX_RAYS_PER_WAVE = 1 << 18
 
 
 # ---------------------------------------------------------------------------
-# Stage 1: conservative packet-frustum vs brick-AABB cull
+# Stage 1: conservative packet-frustum vs brick-AABB cull — shared with the
+# pair tracer (ops/pairtrace.py owns the implementation; here each packet
+# is one [1, 128] SoA row)
 # ---------------------------------------------------------------------------
 
-def _minmax_masked(a, active, lo_fill=INF, hi_fill=-INF):
-    lo = jnp.min(jnp.where(active, a, lo_fill), axis=1)
-    hi = jnp.max(jnp.where(active, a, hi_fill), axis=1)
-    return lo, hi
-
-
-def _interval_cull(org: Vec3, dirn: Vec3, active, brick_lo, brick_hi,
-                   tnear: float):
-    """Conservative entry-distance lower bounds [M, B]; inf = certainly no
-    ray of packet m hits brick b.  Packets are the rows of the [rows, 128]
-    ray SoA.  Interval arithmetic over the packet's origin box and
-    direction bounds; axes whose direction interval spans zero contribute
-    no constraint (conservative)."""
-    LB = None
-    UB = None
-    pk_live = jnp.any(active, axis=1)
-    for o, d, ax in ((org.x, dirn.x, 0), (org.y, dirn.y, 1),
-                     (org.z, dirn.z, 2)):
-        olo, ohi = _minmax_masked(o, active)
-        dlo, dhi = _minmax_masked(d, active)
-        olo, ohi = olo[:, None], ohi[:, None]          # [M,1]
-        same = (dlo * dhi > 0.0)[:, None]
-        # 1/d is monotone on a sign-definite interval: r in [1/dhi, 1/dlo]
-        rlo = (1.0 / jnp.where(dlo * dhi > 0.0, dhi, 1.0))[:, None]
-        rhi = (1.0 / jnp.where(dlo * dhi > 0.0, dlo, 1.0))[:, None]
-        blo = brick_lo[None, :, ax]                    # [1,B]
-        bhi = brick_hi[None, :, ax]
-
-        def pint(nlo, nhi):
-            p0, p1, p2, p3 = nlo * rlo, nlo * rhi, nhi * rlo, nhi * rhi
-            return (jnp.minimum(jnp.minimum(p0, p1), jnp.minimum(p2, p3)),
-                    jnp.maximum(jnp.maximum(p0, p1), jnp.maximum(p2, p3)))
-
-        l0, h0 = pint(blo - ohi, blo - olo)            # near-plane times
-        l1, h1 = pint(bhi - ohi, bhi - olo)            # far-plane times
-        axlo = jnp.minimum(l0, l1)    # <= every ray's slab entry
-        axhi = jnp.maximum(h0, h1)    # >= every ray's slab exit
-        axlo = jnp.where(same, axlo, -INF)
-        axhi = jnp.where(same, axhi, INF)
-        LB = axlo if LB is None else jnp.maximum(LB, axlo)
-        UB = axhi if UB is None else jnp.minimum(UB, axhi)
-    ok = (jnp.maximum(LB, tnear) <= UB) & (UB >= 0.0) & pk_live[:, None]
-    return jnp.where(ok, jnp.maximum(LB, 0.0), INF)
+from .pairtrace import _interval_cull, _minmax_masked  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -359,21 +319,35 @@ def render_samples_mx(mx: MXSet, cam_data, width: int, height: int,
             [jnp.asarray(mx.light_pos, jnp.float32),
              jnp.asarray(mx.light_intensity, jnp.float32)], axis=1)
 
-    chunk = max(1, MX_MAX_RAYS_PER_WAVE // n_slots)
+    # The cap is per WAVE (rays per launch), not per sample batch: when one
+    # single-sample wave over all slots already exceeds it, slice the slot
+    # space itself (whole 32x128-ray tile blocks, so packets stay coherent)
+    # and sum the per-slice images — segment_sum scatters each slice to its
+    # own pixels, so the partial images add exactly (ADVICE r3 medium).
+    gran = 32 * LANES
+    if n_slots > MX_MAX_RAYS_PER_WAVE:
+        slice_len = max(gran, MX_MAX_RAYS_PER_WAVE // gran * gran)
+    else:
+        slice_len = n_slots
+    pix_slots = jnp.asarray(pix_slots)
     acc = None
-    done = 0
-    while done < num_samples:
-        ns = min(chunk, num_samples - done)
-        nr = None
-        if num_real is not None:
-            nr = jnp.clip(num_real.astype(jnp.int32) - done, 0, ns)
-        out = _render_mx(
-            mx.coeff, mx.brick_lo, mx.brick_hi, mx.tri_rows, mx.sph_rows,
-            cam_data, bg, lo, inv, jnp.asarray(pix_slots),
-            jnp.asarray(sample_start, jnp.uint32) + jnp.uint32(done),
-            width, height, ns, seed, max_depth, mx.num_spheres,
-            mx.num_bricks, mx.brick_prims, rr_start_depth=rr_start_depth,
-            sort_mode=sort_mode, num_real=nr, light_rows=light_rows)
-        acc = out if acc is None else acc + out
-        done += ns
+    for s0 in range(0, n_slots, slice_len):
+        slots = pix_slots[s0:s0 + slice_len]
+        chunk = max(1, MX_MAX_RAYS_PER_WAVE // int(slots.shape[0]))
+        done = 0
+        while done < num_samples:
+            ns = min(chunk, num_samples - done)
+            nr = None
+            if num_real is not None:
+                nr = jnp.clip(num_real.astype(jnp.int32) - done, 0, ns)
+            out = _render_mx(
+                mx.coeff, mx.brick_lo, mx.brick_hi, mx.tri_rows,
+                mx.sph_rows, cam_data, bg, lo, inv, slots,
+                jnp.asarray(sample_start, jnp.uint32) + jnp.uint32(done),
+                width, height, ns, seed, max_depth, mx.num_spheres,
+                mx.num_bricks, mx.brick_prims,
+                rr_start_depth=rr_start_depth, sort_mode=sort_mode,
+                num_real=nr, light_rows=light_rows)
+            acc = out if acc is None else acc + out
+            done += ns
     return acc

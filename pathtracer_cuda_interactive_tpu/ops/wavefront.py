@@ -50,6 +50,7 @@ from ..models.bricks import (BRICK_DATA_ROWS, BRICK_ROWS, STACK_DEPTH,
                              BrickSet)
 from . import brdf, rng
 from .brickkernel import make_brick_intersect
+from .pairtrace import trace_wave_pairs
 from .geometry import intersect_sphere
 from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
 from .megakernel import tile_grid
@@ -142,6 +143,12 @@ def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
     the caller folds them in (_record_from_slots / _sphere_tmin)."""
     rows = ox.shape[0]
     n_blocks = rows // WAVE_ROWS
+    # the winning slot rides an f32 channel through the kernel: exact only
+    # below 2^24 (ADVICE r3) — larger scenes must take the pair tracer,
+    # whose slots ride i32 (ops/pairtrace.py)
+    assert brick_data.shape[0] * 512 < 2 ** 24, (
+        "slim-walk tracer slot ids ride f32; scenes over 32,768 bricks "
+        "(~16.7M prims) must use the pair tracer (trace='pairs')")
     tn = jnp.full((1, 1), tnear_scalar, jnp.float32)
     smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.SMEM)
@@ -411,14 +418,15 @@ def _wave_layout(width: int, height: int):
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
                                    "max_depth", "S", "interpret",
-                                   "rr_start_depth", "sort_mode"))
+                                   "rr_start_depth", "sort_mode", "trace"))
 def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       bg, scene_lo, scene_inv, pix_slots, sample_start,
                       width: int, height: int, num_samples: int, seed: int,
                       max_depth: int, S: int, interpret: bool = False,
                       rr_start_depth: int = RR_START_DEPTH,
                       sort_mode: str = "mort_oct", num_real=None,
-                      light_rows=None):
+                      light_rows=None, brick_lo=None, brick_hi=None,
+                      trace: str = "pairs"):
     R = width * height
     n_slots = pix_slots.shape[0]
     bg3 = Vec3(bg[0], bg[1], bg[2])
@@ -455,21 +463,29 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
     # bounce loop by XLA
     tri_rows = brick_data[:, :BRICK_DATA_ROWS, :].reshape(-1, 32)
 
-    def trace_shade(org, dirn, T, L, active, state, depth, tnear):
-        act_f = jnp.where(active, 1.0, 0.0)
-        t, slot = _trace_wave_slim(
+    def trace_tri(tnear, org, dirn, act_f):
+        """(t, slot) closest triangle hit for one wave, by the selected
+        tracer: 'pairs' = XLA visit lists + flat Pallas pair grid
+        (ops/pairtrace.py), 'slim' = scalar-walk brick kernel."""
+        if trace == "pairs":
+            return trace_wave_pairs(
+                brick_data, brick_lo, brick_hi, tnear,
+                org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
+                interpret=interpret)
+        return _trace_wave_slim(
             sph_rows, top_boxes, top_links, brick_data, tnear,
             org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f, S,
             interpret=interpret)
+
+    def trace_shade(org, dirn, T, L, active, state, depth, tnear):
+        act_f = jnp.where(active, 1.0, 0.0)
+        t, slot = trace_tri(tnear, org, dirn, act_f)
         rec = _record_from_slots(tri_rows, sph_rows, S, t, slot, org,
                                  dirn, tnear, active)
         if light_rows is not None:
             def shadow_t(sorg, sdir, mask):
-                st_, _ = _trace_wave_slim(
-                    sph_rows, top_boxes, top_links, brick_data,
-                    SECONDARY_TNEAR, sorg.x, sorg.y, sorg.z,
-                    sdir.x, sdir.y, sdir.z,
-                    jnp.where(mask, 1.0, 0.0), S, interpret=interpret)
+                st_, _ = trace_tri(SECONDARY_TNEAR, sorg, sdir,
+                                   jnp.where(mask, 1.0, 0.0))
                 return _sphere_tmin(sph_rows, S, sorg, sdir,
                                     SECONDARY_TNEAR, st_)
             L = L + _nee_term(rec, dirn, T, active, light_rows, shadow_t)
@@ -532,11 +548,13 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
                              interpret: bool = False,
                              rr_start_depth: int = RR_START_DEPTH,
                              sort_mode: str = "mort_oct",
-                             nee: bool = False):
+                             nee: bool = False, trace: str = "pairs"):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
     wave render in chunks (shapes stay static per chunk size).
-    ``nee=True`` samples point lights at every hit with shadow waves."""
+    ``nee=True`` samples point lights at every hit with shadow waves.
+    ``trace`` picks the per-wave closest-hit engine: "pairs" (default,
+    ops/pairtrace.py) or "slim" (the round-3 scalar-walk kernel)."""
     light_rows = None
     if nee and int(brickset.light_pos.shape[0]) > 0:
         light_rows = jnp.concatenate(
@@ -565,7 +583,9 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
             jnp.asarray(sample_start, jnp.uint32) + jnp.uint32(done),
             width, height, ns, seed, max_depth, brickset.num_spheres,
             interpret=interpret, rr_start_depth=rr_start_depth,
-            sort_mode=sort_mode, light_rows=light_rows)
+            sort_mode=sort_mode, light_rows=light_rows,
+            brick_lo=jnp.asarray(brickset.brick_lo),
+            brick_hi=jnp.asarray(brickset.brick_hi), trace=trace)
         acc = out if acc is None else acc + out
         done += ns
     return acc
