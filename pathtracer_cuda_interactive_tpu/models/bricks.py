@@ -72,6 +72,10 @@ class BrickSet:
     # packet-vs-brick interval cull of the pair tracer (ops/pairtrace.py)
     brick_lo: np.ndarray    # [B,3] f32
     brick_hi: np.ndarray    # [B,3] f32
+    # the 16 sub-chunk AABBs per brick as an XLA-side table (same numbers
+    # as brick_data row BRICK_DATA_ROWS): [B, NUM_SUBS, 8] f32 with fields
+    # 0..5 = min/max xyz, 6 = non-empty flag
+    sub_boxes: np.ndarray
     # resident sphere table, megakernel row layout
     sph_rows: np.ndarray    # [S_pad, 32] f32
     # background
@@ -120,27 +124,33 @@ def build_bricks(pack: ScenePack) -> BrickSet:
     # 32-prim sub-chunks for the in-kernel sub-AABB cull
     morton = morton_codes(0.5 * (tmin.astype(np.float64) + tmax))
 
+    # fully vectorized brick assembly (the r3 per-brick Python loop cost
+    # ~10 s at 1.15M tris — VERDICT r3 next #3): one stable lexsort orders
+    # all prims (brick-major, Morton within brick), one fancy-index scatter
+    # fills the padded blocks, and per-chunk AABBs come from
+    # minimum/maximum.reduceat over the chunk-run boundaries.
+    brick_of = np.repeat(np.arange(B, dtype=np.int64), top.leaf_count)
+    sort_in_brick = np.lexsort((morton[top.order], brick_of))
+    ids_sorted = top.order[sort_in_brick]           # brick-major, Morton
+    pos = np.arange(F, dtype=np.int64) - top.leaf_start[brick_of]
+    flat = brick_of * BRICK_PRIMS + pos             # slot in padded blocks
+
+    brick_prims = np.zeros((B * BRICK_PRIMS, 32), np.float32)
+    brick_prims[flat] = tri_rows[ids_sorted]
+
+    sid = brick_of * NUM_SUBS + pos // SUB_PRIMS    # chunk id, nondecreasing
+    starts = np.flatnonzero(np.diff(sid, prepend=-1))
+    smin = np.minimum.reduceat(tmin[ids_sorted], starts, axis=0)
+    smax = np.maximum.reduceat(tmax[ids_sorted], starts, axis=0)
+    sub_tbl = np.zeros((B * NUM_SUBS, 8), np.float32)
+    occ = sid[starts]                               # occupied chunk ids
+    sub_tbl[occ, 0:3] = smin
+    sub_tbl[occ, 3:6] = smax
+    # field 6 marks real (non-empty) chunks — an inverted/sentinel box
+    # is NOT a reliable slab-test miss once min/max swaps normalize it
+    sub_tbl[occ, 6] = 1.0
+
     data = np.zeros((B, BRICK_ROWS, 128), np.float32)
-    # scatter each brick's (Morton-sorted) records into its padded block
-    brick_prims = np.zeros((B, BRICK_PRIMS, 32), np.float32)
-    sub_tbl = np.zeros((B, NUM_SUBS, 8), np.float32)
-    for b in range(B):
-        ids = top.order[top.leaf_start[b]:top.leaf_start[b]
-                        + top.leaf_count[b]]
-        ids = ids[np.argsort(morton[ids], kind="stable")]
-        nb = len(ids)
-        brick_prims[b, :nb] = tri_rows[ids]
-        sid = np.arange(nb) // SUB_PRIMS
-        nsub = -(-nb // SUB_PRIMS)
-        smin = np.full((NUM_SUBS, 3), np.inf, np.float32)
-        smax = np.full((NUM_SUBS, 3), -np.inf, np.float32)
-        np.minimum.at(smin, sid, tmin[ids])
-        np.maximum.at(smax, sid, tmax[ids])
-        sub_tbl[b, :nsub, 0:3] = smin[:nsub]
-        sub_tbl[b, :nsub, 3:6] = smax[:nsub]
-        # field 6 marks real (non-empty) chunks — an inverted/sentinel box
-        # is NOT a reliable slab-test miss once min/max swaps normalize it
-        sub_tbl[b, :nsub, 6] = 1.0
     data[:, :BRICK_DATA_ROWS, :] = brick_prims.reshape(
         B, BRICK_DATA_ROWS, 128)
     data[:, BRICK_DATA_ROWS, :] = sub_tbl.reshape(B, 128)
@@ -163,6 +173,7 @@ def build_bricks(pack: ScenePack) -> BrickSet:
     return BrickSet(
         brick_data=data,
         brick_lo=brick_lo, brick_hi=brick_hi,
+        sub_boxes=sub_tbl.reshape(B, NUM_SUBS, 8).copy(),
         top_boxes=top_boxes, top_links=top_links, sph_rows=sph_rows,
         bg_r=np.float32(pack.background[0]),
         bg_g=np.float32(pack.background[1]),

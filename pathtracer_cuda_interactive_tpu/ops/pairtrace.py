@@ -55,6 +55,16 @@ from .vec import Vec3
 
 INF = float("inf")
 
+# Perf-attribution switch (tools/probe_pairs.py): "tri" drops the
+# per-triangle loop, "" is production.  Renders are WRONG under the skip.
+import os as _os
+import sys as _sys
+_PAIR_SKIP = _os.environ.get("PT_PAIR_SKIP", "")
+if _PAIR_SKIP:
+    print(f"WARNING: PT_PAIR_SKIP={_PAIR_SKIP!r} is set — the pair tracer "
+          "will skip work and RENDER WRONG IMAGES (perf attribution only).",
+          file=_sys.stderr)
+
 # Rays per packet: PACKET_ROWS x 128 rays share one visit list.  With the
 # walk gone, packet size trades cull tightness (smaller = fewer bricks per
 # packet) against per-pair fixed cost amortization (larger = fewer pairs).
@@ -217,6 +227,8 @@ def _make_pair_kernel(tnear: float):
                 hitm = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= best[0])
                         & active)
                 anyhit = jnp.any(hitm) & valid_c
+                if _PAIR_SKIP == "tri":
+                    return (best[0] + jnp.where(anyhit, 0.0, 0.0), best[1])
                 return lax.cond(
                     anyhit,
                     lambda b: lax.fori_loop(s * SUB_PRIMS,

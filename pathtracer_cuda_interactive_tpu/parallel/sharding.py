@@ -192,12 +192,12 @@ def _render_sharded_bricks(bs, cam_data, sample_start, width, height,
 @partial(jax.jit,
          static_argnames=("width", "height", "num_samples", "seed",
                           "max_depth", "mesh", "interpret", "rr_start_depth",
-                          "sort_mode", "nee"))
+                          "sort_mode", "nee", "trace"))
 def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
                               sample_start, width, height, num_samples,
                               seed, max_depth, mesh, interpret=False,
                               rr_start_depth=5, sort_mode="mort_oct",
-                              nee=False):
+                              nee=False, trace="pairs"):
     """Tile+sample sharding of the sorted-wavefront tracer: the slot->pixel
     map is sharded over tiles (each chip sorts and traces only its own
     rays); per-chip partial images psum over both axes."""
@@ -222,7 +222,9 @@ def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
             cam_data, bg, scene_lo, scene_inv, pix_slots, local_start,
             width, height, ns_local, seed, max_depth, bs.num_spheres,
             interpret=interpret, rr_start_depth=rr_start_depth,
-            sort_mode=sort_mode, num_real=num_real, light_rows=light_rows)
+            sort_mode=sort_mode, num_real=num_real, light_rows=light_rows,
+            brick_lo=jnp.asarray(bs.brick_lo),
+            brick_hi=jnp.asarray(bs.brick_hi), trace=trace)
         return lax.psum(img, (SAMPLE_AXIS, TILE_AXIS))
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
@@ -304,7 +306,8 @@ def render_samples_sharded(scene, cam_data, width: int,
                            interpret: bool = False,
                            rr_start_depth: int = 5,
                            sort_mode: str = "mort_oct",
-                           nee: bool = False) -> jnp.ndarray:
+                           nee: bool = False,
+                           trace: str = "pairs") -> jnp.ndarray:
     """Sharded render dispatch: returns the [H, W, 3] radiance sum of
     EXACTLY ``num_samples`` passes, computed across the mesh (per-chip pass
     counts ceil-round, but the surplus passes are masked out of the sum).
@@ -382,7 +385,7 @@ def render_samples_sharded(scene, cam_data, width: int,
         return _render_sharded_wavefront(
             scene, cam_data, slots, jnp.asarray(lo), jnp.asarray(inv),
             start, width, height, num_samples, seed, max_depth, mesh,
-            interpret, rr_start_depth, sort_mode, nee)
+            interpret, rr_start_depth, sort_mode, nee, trace)
 
     n_tiles = mesh.shape[TILE_AXIS]
     pix, rows = _padded_grid(width, height, n_tiles)

@@ -75,12 +75,12 @@ def _render_mode(pack, width: int, height: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
                                    "max_depth", "mode", "nee",
-                                   "rr_start_depth"),
+                                   "rr_start_depth", "trace"),
          donate_argnames=("accum",))
 def _accumulate_step(scene, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
                      max_depth: int, mode: str, nee: bool = False,
-                     rr_start_depth: int = 5):
+                     rr_start_depth: int = 5, trace: str = "pairs"):
     if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -99,7 +99,7 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
                                        sample_start, num_samples, seed,
                                        max_depth,
                                        rr_start_depth=rr_start_depth,
-                                       nee=nee)
+                                       nee=nee, trace=trace)
     elif mode == "bricks":
         new = render_samples_bricks(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -204,7 +204,8 @@ class ProgressiveRenderer:
             self.scene, self._cam_data, self.accum,
             jnp.uint32(self.sample_count), self.width, self.height,
             ns, self.config.seed, self.config.max_depth, self.mode,
-            self.config.enable_nee, self.config.rr_start_depth)
+            self.config.enable_nee, self.config.rr_start_depth,
+            self.config.wavefront_trace)
         if sync:
             # A 4-byte dependent readback, not block_until_ready: on the
             # tunneled TPU platform block_until_ready can return before

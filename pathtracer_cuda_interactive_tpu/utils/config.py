@@ -44,6 +44,10 @@ class RenderConfig:
     # rounds, ops/mxtrace.py) or "bricks" (persistent-lane packet
     # kernel, ops/brickkernel.py)
     large_scene_mode: str = "wavefront"
+    # per-wave closest-hit engine of the wavefront path: "pairs" (XLA
+    # visit lists + flat Pallas pair grid, ops/pairtrace.py — the round-4
+    # default) or "slim" (the round-3 scalar-walk brick kernel)
+    wavefront_trace: str = "pairs"
 
 
 _CONFIGURED = False
