@@ -46,6 +46,9 @@ BRICK_ROWS = BRICK_DATA_ROWS + 8             # [136, 128] per-brick block
 # traversal scalar stack slots (ops/brickkernel.py); the walk needs at most
 # tree_depth + 1 live slots
 STACK_DEPTH = 192
+# coarse boxes for the target-signature sort key (one bit per box in the
+# key's high bits, so 8 boxes + 21 Morton bits fit an i32)
+SIG_BOXES = 8
 # resident top-tree SMEM budget: boxes pack 16 nodes/row (512 B/row) and
 # links 64 nodes/row -> 40 B/node; keep the tables under ~0.75 MB of the
 # 1 MB SMEM alongside the 70 KB brick scratch + sphere table
@@ -76,6 +79,10 @@ class BrickSet:
     # as brick_data row BRICK_DATA_ROWS): [B, NUM_SUBS, 8] f32 with fields
     # 0..5 = min/max xyz, 6 = non-empty flag
     sub_boxes: np.ndarray
+    # up to SIG_BOXES coarse top-tree node AABBs, preorder, for the
+    # per-ray target-signature sort key (ops/wavefront.py::_sig_key):
+    # [K, 8] f32, fields 0..5 = min/max xyz, 6 = valid flag
+    coarse_boxes: np.ndarray
     # resident sphere table, megakernel row layout
     sph_rows: np.ndarray    # [S_pad, 32] f32
     # background
@@ -170,10 +177,16 @@ def build_bricks(pack: ScenePack) -> BrickSet:
     brick_lo = top.node_min[leaf_nodes].astype(np.float32)
     brick_hi = top.node_max[leaf_nodes].astype(np.float32)
 
+    # coarse boxes: split the top tree breadth-first (largest-area node
+    # first) until SIG_BOXES nodes cover every brick — the per-ray target
+    # signature groups rays by which of these their line can touch
+    coarse = _coarse_cut(top, SIG_BOXES)
+
     return BrickSet(
         brick_data=data,
         brick_lo=brick_lo, brick_hi=brick_hi,
         sub_boxes=sub_tbl.reshape(B, NUM_SUBS, 8).copy(),
+        coarse_boxes=coarse,
         top_boxes=top_boxes, top_links=top_links, sph_rows=sph_rows,
         bg_r=np.float32(pack.background[0]),
         bg_g=np.float32(pack.background[1]),
@@ -181,6 +194,39 @@ def build_bricks(pack: ScenePack) -> BrickSet:
         light_pos=pack.light_pos.astype(np.float32),
         light_intensity=pack.light_intensity.astype(np.float32),
         num_spheres=S, num_bricks=B, num_top=Ntop)
+
+
+def _coarse_cut(top, k_max: int) -> np.ndarray:
+    """Cut the preorder skip-link treelet into <= ``k_max`` disjoint
+    subtree-root boxes by repeatedly splitting the largest-surface node.
+    Returns [k_max, 8] f32 rows (min xyz, max xyz, valid, 0), preorder
+    ordered so neighboring signature bits are spatially adjacent."""
+    def area(n):
+        d = np.maximum(top.node_max[n] - top.node_min[n], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    def children(n):
+        if top.leaf_of_node[n] >= 0:
+            return None
+        left = n + 1
+        return left, int(top.skip[left])
+
+    cut = [0]
+    while len(cut) < k_max:
+        splittable = [n for n in cut if children(n) is not None]
+        if not splittable:
+            break
+        n = max(splittable, key=area)
+        l, r = children(n)
+        cut.remove(n)
+        cut.extend([l, r])
+    cut.sort()   # preorder = spatial locality of neighboring bits
+    out = np.zeros((k_max, 8), np.float32)
+    for i, n in enumerate(cut):
+        out[i, 0:3] = top.node_min[n]
+        out[i, 3:6] = top.node_max[n]
+        out[i, 6] = 1.0
+    return out
 
 
 def brick_prim_count(brickset: BrickSet, b: int) -> int:

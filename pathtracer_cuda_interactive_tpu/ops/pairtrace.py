@@ -246,12 +246,12 @@ def _make_pair_kernel(tnear: float):
 
 def _pair_chunk(pkt, brk_ext, first, t, slot, ox, oy, oz, dx, dy, dz, act,
                 brick_data, tnear: float, cap: int,
-                interpret: bool = False):
+                interpret: bool = False, packet_rows: int = PACKET_ROWS):
     """One ``cap``-pair kernel launch; returns updated (t, slot) for the
     packets this chunk visited (unvisited packets' rows are GARBAGE — the
     caller merges with its visited mask)."""
     rows = ox.shape[0]
-    ray_spec = pl.BlockSpec((PACKET_ROWS, LANES),
+    ray_spec = pl.BlockSpec((packet_rows, LANES),
                             lambda i, pkt, brk, first: (pkt[i], 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -275,17 +275,18 @@ def _pair_chunk(pkt, brk_ext, first, t, slot, ox, oy, oz, dx, dy, dz, act,
 
 def trace_wave_pairs(brick_data, brick_lo, brick_hi, tnear: float,
                      ox, oy, oz, dx, dy, dz, act,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     packet_rows: int = PACKET_ROWS):
     """Closest-hit over the brick soup for one wave of [rows, 128] rays
-    (rows a multiple of PACKET_ROWS).  Drop-in for
+    (rows a multiple of ``packet_rows``).  Drop-in for
     ``wavefront._trace_wave_slim``: returns (t [rows,128] f32 with inf =
     no triangle hit, slot [rows,128] i32 with -1 = no triangle hit).
     Spheres are NOT included — the caller's epilogue folds them in."""
     rows = ox.shape[0]
-    assert rows % PACKET_ROWS == 0, rows
-    P = rows // PACKET_ROWS
+    assert rows % packet_rows == 0, rows
+    P = rows // packet_rows
     B = int(brick_data.shape[0])
-    rp = lambda a: a.reshape(P, PACKET_ROWS * LANES)
+    rp = lambda a: a.reshape(P, packet_rows * LANES)
 
     lb = _interval_cull(Vec3(rp(ox), rp(oy), rp(oz)),
                         Vec3(rp(dx), rp(dy), rp(dz)),
@@ -318,9 +319,10 @@ def trace_wave_pairs(brick_data, brick_lo, brick_hi, tnear: float,
         bk_ext = jnp.concatenate([bk, jnp.full((1,), -1, jnp.int32)])
         t2, s2 = _pair_chunk(pkc, bk_ext, first, t, slot,
                              ox, oy, oz, dx, dy, dz, act,
-                             brick_data, tnear, cap, interpret)
+                             brick_data, tnear, cap, interpret,
+                             packet_rows)
         vis = jnp.zeros((P,), jnp.bool_).at[pk].set(True, mode="drop")
-        vrow = jnp.repeat(vis, PACKET_ROWS)[:, None]
+        vrow = jnp.repeat(vis, packet_rows)[:, None]
         return (c + 1,
                 jnp.where(vrow, t2, t),
                 jnp.where(vrow, s2, slot))

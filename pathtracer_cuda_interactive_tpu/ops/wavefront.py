@@ -309,6 +309,47 @@ def _sort_key(org: Vec3, dirn: Vec3, active, lo, inv_extent):
     return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
 
 
+def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse):
+    """Target-signature sort key: the high 8 bits say WHICH coarse scene
+    regions (top-tree subtree boxes, models/bricks.py::_coarse_cut) the
+    ray's forward line can touch; the low 21 bits are the origin Morton
+    code.  Secondary hemispheres from one surface patch mix rays bound for
+    the geometry with rays bound for the background — origin locality
+    alone cannot separate them, and measured wave-1 packets saw 506 of
+    803 bricks each (tools/probe_waves.py).  Grouping by reachable-region
+    signature first makes the pair tracer's interval cull see packets
+    whose rays agree about where they are going: all-background packets
+    cull to ZERO pairs.  Dead rays key to INT32_MAX and sink."""
+    inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
+    sig = jnp.zeros(org.x.shape, jnp.int32)
+    for k in range(int(coarse.shape[0])):
+        tx0 = (coarse[k, 0] - org.x) * inv.x
+        tx1 = (coarse[k, 3] - org.x) * inv.x
+        ty0 = (coarse[k, 1] - org.y) * inv.y
+        ty1 = (coarse[k, 4] - org.y) * inv.y
+        tz0 = (coarse[k, 2] - org.z) * inv.z
+        tz1 = (coarse[k, 5] - org.z) * inv.z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1))
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (coarse[k, 6] > 0.0)
+        sig = sig | jnp.where(hit, jnp.int32(1 << k), 0)
+
+    def q(c, l, s):
+        x = jnp.clip((c - l) * s * 127.0, 0.0, 127.0)
+        return x.astype(jnp.int32)
+
+    mx = _spread3(q(org.x, lo[0], inv_extent[0]))
+    my = _spread3(q(org.y, lo[1], inv_extent[1]))
+    mz = _spread3(q(org.z, lo[2], inv_extent[2]))
+    morton = (mx << 2) | (my << 1) | mz
+    key = (sig << 21) | morton
+    return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
+
+
 def _nee_term(rec, dirn, T, active, light_rows, shadow_t):
     """Point-light next-event estimation for one wave: the direct-lighting
     radiance to add at each hit (ops/integrator.py::_direct_point_lights
@@ -426,7 +467,7 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       rr_start_depth: int = RR_START_DEPTH,
                       sort_mode: str = "mort_oct", num_real=None,
                       light_rows=None, brick_lo=None, brick_hi=None,
-                      trace: str = "pairs"):
+                      trace: str = "pairs", coarse_rows=None):
     R = width * height
     n_slots = pix_slots.shape[0]
     bg3 = Vec3(bg[0], bg[1], bg[2])
@@ -465,13 +506,16 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
 
     def trace_tri(tnear, org, dirn, act_f):
         """(t, slot) closest triangle hit for one wave, by the selected
-        tracer: 'pairs' = XLA visit lists + flat Pallas pair grid
-        (ops/pairtrace.py), 'slim' = scalar-walk brick kernel."""
-        if trace == "pairs":
+        tracer: 'pairs[N]' = XLA visit lists + flat Pallas pair grid
+        (ops/pairtrace.py, N = rows per packet), 'slim' = scalar-walk
+        brick kernel."""
+        if trace.startswith("pairs"):
+            pr = int(trace[5:]) if len(trace) > 5 else None
             return trace_wave_pairs(
                 brick_data, brick_lo, brick_hi, tnear,
                 org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
-                interpret=interpret)
+                interpret=interpret,
+                **({} if pr is None else {"packet_rows": pr}))
         return _trace_wave_slim(
             sph_rows, top_boxes, top_links, brick_data, tnear,
             org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f, S,
@@ -505,7 +549,11 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
          Lx, Ly, Lz, pixc, state) = st
         org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
         if sort_mode != "none":
-            key = _sort_key(org, dirn, active, scene_lo, scene_inv)
+            if sort_mode == "sig_mort":
+                key = _sig_key(org, dirn, active, scene_lo, scene_inv,
+                               coarse_rows)
+            else:
+                key = _sort_key(org, dirn, active, scene_lo, scene_inv)
             flat = lambda a: a.reshape(-1)
             cols = lax.sort(
                 (flat(key), flat(ox), flat(oy), flat(oz), flat(dx),
@@ -547,14 +595,16 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
                              max_depth: int = MAX_DEPTH,
                              interpret: bool = False,
                              rr_start_depth: int = RR_START_DEPTH,
-                             sort_mode: str = "mort_oct",
+                             sort_mode: str = "sig_mort",
                              nee: bool = False, trace: str = "pairs"):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
     wave render in chunks (shapes stay static per chunk size).
     ``nee=True`` samples point lights at every hit with shadow waves.
-    ``trace`` picks the per-wave closest-hit engine: "pairs" (default,
-    ops/pairtrace.py) or "slim" (the round-3 scalar-walk kernel)."""
+    ``trace`` picks the per-wave closest-hit engine: "pairs[N]" (default,
+    ops/pairtrace.py, optional N = rows per packet) or "slim" (the round-3
+    scalar-walk kernel); ``sort_mode`` the inter-wave coherence key
+    ("sig_mort" target-signature default, "mort_oct" r3 key, "none")."""
     light_rows = None
     if nee and int(brickset.light_pos.shape[0]) > 0:
         light_rows = jnp.concatenate(
@@ -585,7 +635,8 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
             interpret=interpret, rr_start_depth=rr_start_depth,
             sort_mode=sort_mode, light_rows=light_rows,
             brick_lo=jnp.asarray(brickset.brick_lo),
-            brick_hi=jnp.asarray(brickset.brick_hi), trace=trace)
+            brick_hi=jnp.asarray(brickset.brick_hi), trace=trace,
+            coarse_rows=jnp.asarray(brickset.coarse_boxes))
         acc = out if acc is None else acc + out
         done += ns
     return acc

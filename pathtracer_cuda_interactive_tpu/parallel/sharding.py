@@ -224,7 +224,8 @@ def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
             interpret=interpret, rr_start_depth=rr_start_depth,
             sort_mode=sort_mode, num_real=num_real, light_rows=light_rows,
             brick_lo=jnp.asarray(bs.brick_lo),
-            brick_hi=jnp.asarray(bs.brick_hi), trace=trace)
+            brick_hi=jnp.asarray(bs.brick_hi), trace=trace,
+            coarse_rows=jnp.asarray(bs.coarse_boxes))
         return lax.psum(img, (SAMPLE_AXIS, TILE_AXIS))
 
     fn = jax.shard_map(shard_fn, mesh=mesh,

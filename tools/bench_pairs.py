@@ -1,6 +1,7 @@
 """Measure bunny full-depth throughput: pair tracer vs slim walk (r4).
 
-Usage: python tools/bench_pairs.py [pairs|slim|both] [frames]
+Usage: python tools/bench_pairs.py [trace:sort,trace:sort,...] [frames]
+e.g.   python tools/bench_pairs.py pairs:sig_mort,slim:sig_mort 6
 """
 import sys
 import time
@@ -14,7 +15,7 @@ W, H, SPF = 640, 480, 2
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    which = sys.argv[1] if len(sys.argv) > 1 else "pairs:sig_mort"
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
     import jax.numpy as jnp
@@ -33,13 +34,15 @@ def main():
     print(f"init {time.perf_counter() - t0:.2f} s "
           f"(tris={pack.num_triangles}, bricks={bs.num_bricks})")
 
-    modes = ["pairs", "slim"] if which == "both" else [which]
-    for trace in modes:
+    for token in which.split(","):
+        trace, _, sort_mode = token.partition(":")
+        sort_mode = sort_mode or "sig_mort"
         fn = lambda s0: render_samples_wavefront(
-            bs, cd, W, H, jnp.uint32(s0), SPF, trace=trace)
+            bs, cd, W, H, jnp.uint32(s0), SPF, trace=trace,
+            sort_mode=sort_mode)
         t0 = time.perf_counter()
         first = float(np.asarray(fn(0)).mean())
-        print(f"[{trace}] first frame (compile+run) "
+        print(f"[{token}] first frame (compile+run) "
               f"{time.perf_counter() - t0:.1f} s, mean={first:.4f}")
         assert np.isfinite(first) and first > 0
         for p in range(2):
@@ -50,7 +53,7 @@ def main():
                 acc = out if acc is None else acc + out
             np.asarray(acc).sum()
             dt = time.perf_counter() - t0
-            print(f"[{trace}] pass {p}: {frames * SPF * W * H / dt / 1e6:.3f}"
+            print(f"[{token}] pass {p}: {frames * SPF * W * H / dt / 1e6:.3f}"
                   f" Msamples/s ({dt / frames * 1e3:.1f} ms/frame)")
 
 
