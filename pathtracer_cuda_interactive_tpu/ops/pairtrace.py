@@ -130,16 +130,17 @@ def _interval_cull(org: Vec3, dirn: Vec3, active, brick_lo, brick_hi,
 def _pack_pairs(lb):
     """Flatten the [P, B] entry-bound matrix into a packet-major,
     near-brick-first pair list.  Returns (pkt [P*B] i32 with P as the
-    invalid sentinel, brk [P*B] i32, count i32)."""
+    invalid sentinel, brk [P*B] i32, ent [P*B] f32 conservative entry
+    lower bounds, count i32)."""
     P, B = lb.shape
     valid = jnp.isfinite(lb)
     pkt = jax.lax.broadcasted_iota(jnp.int32, (P, B), 0)
     brk = jax.lax.broadcasted_iota(jnp.int32, (P, B), 1)
     pkt_key = jnp.where(valid, pkt, jnp.int32(P))   # sentinel sinks to tail
-    pkt_s, _, brk_s = lax.sort(
+    pkt_s, ent_s, brk_s = lax.sort(
         (pkt_key.reshape(-1), lb.reshape(-1), brk.reshape(-1)), num_keys=2)
     count = jnp.sum(valid.astype(jnp.int32))
-    return pkt_s, brk_s, count
+    return pkt_s, brk_s, ent_s, count
 
 
 # ---------------------------------------------------------------------------
@@ -153,8 +154,9 @@ def _make_pair_kernel(tnear: float):
     first [CAP] (1 = first pair of its packet in this launch -> seed the
     output accumulators from the carried-in state)."""
 
-    def kernel(pkt_ref, brk_ref, first_ref, ox, oy, oz, dx, dy, dz, act,
-               t_in, s_in, bricks_hbm, out_t, out_s, scratch, sems):
+    def kernel(pkt_ref, brk_ref, first_ref, ent_ref, ox, oy, oz, dx, dy,
+               dz, act, t_in, s_in, bricks_hbm, out_t, out_s, scratch,
+               sems):
         i = pl.program_id(0)
         brick = brk_ref[i]
         slot = lax.rem(i, 2)
@@ -181,12 +183,9 @@ def _make_pair_kernel(tnear: float):
             out_t[:] = t_in[:]
             out_s[:] = s_in[:]
 
-        @pl.when(brick >= 0)
-        def _():
-            dma(i, slot).wait()
+        def _pair_body(active):
             org = Vec3(ox[:], oy[:], oz[:])
             dirn = Vec3(dx[:], dy[:], dz[:])
-            active = act[:] > 0.0
             inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
 
             def rd(kk, j):
@@ -241,21 +240,36 @@ def _make_pair_kernel(tnear: float):
             out_t[:] = best[0]
             out_s[:] = best[1]
 
+        @pl.when(brick >= 0)
+        def _():
+            dma(i, slot).wait()
+            active = act[:] > 0.0
+            # near-first early-out (the walk's best-t subtree prune,
+            # reproduced on the flat list): ent is a lower bound of every
+            # ray's entry into this brick, so if no live ray's running
+            # best-t exceeds it, nothing here can win — skip the pair for
+            # the cost of one reduce.
+            proceed = jnp.any((out_t[:] > ent_ref[i]) & active)
+
+            @pl.when(proceed)
+            def _():
+                _pair_body(active)
+
     return kernel
 
 
-def _pair_chunk(pkt, brk_ext, first, t, slot, ox, oy, oz, dx, dy, dz, act,
-                brick_data, tnear: float, cap: int,
+def _pair_chunk(pkt, brk_ext, first, ent, t, slot, ox, oy, oz, dx, dy, dz,
+                act, brick_data, tnear: float, cap: int,
                 interpret: bool = False, packet_rows: int = PACKET_ROWS):
     """One ``cap``-pair kernel launch; returns updated (t, slot) for the
     packets this chunk visited (unvisited packets' rows are GARBAGE — the
     caller merges with its visited mask)."""
     rows = ox.shape[0]
     ray_spec = pl.BlockSpec((packet_rows, LANES),
-                            lambda i, pkt, brk, first: (pkt[i], 0),
+                            lambda i, pkt, brk, first, ent: (pkt[i], 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(cap,),
         in_specs=[ray_spec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(ray_spec, ray_spec),
@@ -269,7 +283,7 @@ def _pair_chunk(pkt, brk_ext, first, t, slot, ox, oy, oz, dx, dy, dz, act,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(pkt, brk_ext, first, ox, oy, oz, dx, dy, dz, act, t, slot,
+    )(pkt, brk_ext, first, ent, ox, oy, oz, dx, dy, dz, act, t, slot,
       brick_data)
 
 
@@ -291,7 +305,7 @@ def trace_wave_pairs(brick_data, brick_lo, brick_hi, tnear: float,
     lb = _interval_cull(Vec3(rp(ox), rp(oy), rp(oz)),
                         Vec3(rp(dx), rp(dy), rp(dz)),
                         rp(act) > 0.0, brick_lo, brick_hi, tnear)
-    pkt_s, brk_s, count = _pack_pairs(lb)
+    pkt_s, brk_s, ent_s, count = _pack_pairs(lb)
 
     # chunk size: small scenes fit their whole P x B matrix in one launch
     # (also keeps interpret-mode tests fast); big waves loop PAIR_CAP at a
@@ -301,6 +315,7 @@ def trace_wave_pairs(brick_data, brick_lo, brick_hi, tnear: float,
     if pad:
         pkt_s = jnp.concatenate([pkt_s, jnp.full((pad,), P, jnp.int32)])
         brk_s = jnp.concatenate([brk_s, jnp.zeros((pad,), jnp.int32)])
+        ent_s = jnp.concatenate([ent_s, jnp.zeros((pad,), jnp.float32)])
 
     t0 = jnp.full((rows, LANES), INF, jnp.float32)
     s0 = jnp.full((rows, LANES), -1, jnp.int32)
@@ -312,12 +327,13 @@ def trace_wave_pairs(brick_data, brick_lo, brick_hi, tnear: float,
         c, t, slot = st
         pk = lax.dynamic_slice(pkt_s, (c * cap,), (cap,))
         bk = lax.dynamic_slice(brk_s, (c * cap,), (cap,))
+        en = lax.dynamic_slice(ent_s, (c * cap,), (cap,))
         bk = jnp.where(pk >= P, -1, bk)
         pkc = jnp.minimum(pk, P - 1)
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pkc[:-1]])
         first = (pkc != prev).astype(jnp.int32)
         bk_ext = jnp.concatenate([bk, jnp.full((1,), -1, jnp.int32)])
-        t2, s2 = _pair_chunk(pkc, bk_ext, first, t, slot,
+        t2, s2 = _pair_chunk(pkc, bk_ext, first, en, t, slot,
                              ox, oy, oz, dx, dy, dz, act,
                              brick_data, tnear, cap, interpret,
                              packet_rows)

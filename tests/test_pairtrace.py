@@ -31,10 +31,11 @@ def test_pack_pairs_packet_major_near_first():
         [inf, inf, inf],     # packet 1 visits nothing
         [0.5, 2.0, 1.0],     # packet 2 visits 0, 2, 1
     ], np.float32))
-    pkt, brk, count = _pack_pairs(lb)
+    pkt, brk, ent, count = _pack_pairs(lb)
     assert int(count) == 5
     assert pkt[:5].tolist() == [0, 0, 2, 2, 2]
     assert brk[:5].tolist() == [2, 0, 0, 2, 1]
+    assert ent[:5].tolist() == [1.0, 3.0, 0.5, 1.0, 2.0]
     assert np.all(np.asarray(pkt[5:]) == 3)          # sentinel = P
 
 
