@@ -108,7 +108,24 @@ def build_sah_treelets(prim_min: np.ndarray, prim_max: np.ndarray,
                        leaf_size: int = 512) -> SAHTreelets:
     """Top-down binned-SAH build terminating at ≤ ``leaf_size``-prim
     leaves.  Depth is bounded: past MAX_SAH_DEPTH the split degrades to
-    balanced centroid-median halves (adds ≤ log2(n) further levels)."""
+    balanced centroid-median halves (adds ≤ log2(n) further levels).
+
+    Dispatches to the C++ twin (native/sah_treelets.cpp — same numerics,
+    bit-identical on tie-free inputs, ~20x faster at 1M prims) when the
+    native library is available; this numpy body is the always-available
+    fallback and the semantic reference (tests/test_native.py)."""
+    from .native import build_sah_treelets_native
+    nat = build_sah_treelets_native(prim_min, prim_max, leaf_size)
+    if nat is not None:
+        return SAHTreelets(node_min=nat[0], node_max=nat[1], skip=nat[2],
+                           leaf_of_node=nat[3], order=nat[4],
+                           leaf_start=nat[5], leaf_count=nat[6],
+                           depth=nat[7])
+    return _build_sah_treelets_numpy(prim_min, prim_max, leaf_size)
+
+
+def _build_sah_treelets_numpy(prim_min: np.ndarray, prim_max: np.ndarray,
+                              leaf_size: int = 512) -> SAHTreelets:
     prim_min = np.asarray(prim_min, np.float64)
     prim_max = np.asarray(prim_max, np.float64)
     P = int(prim_min.shape[0])

@@ -52,3 +52,38 @@ def test_native_is_faster_at_scale():
     # the C++ builder must at least keep pace; in practice it is ~2-10x
     # faster than the numpy level-sweep at this scale
     assert t_native < t_numpy * 1.5, (t_native, t_numpy)
+
+
+@needs_native
+@pytest.mark.parametrize("P,leaf", [(1, 512), (100, 16), (20000, 64),
+                                    (50001, 512)])
+def test_native_sah_matches_numpy_bitwise(P, leaf):
+    """C++ binned-SAH treelets == numpy reference, field for field
+    (same numerics, stable partition, first-min tie-breaks)."""
+    from pathtracer_cuda_interactive_tpu.models import sah
+    pmin, pmax = _random_boxes(P, seed=P + 7)
+    a = sah._build_sah_treelets_numpy(pmin, pmax, leaf_size=leaf)
+    b_t = native.build_sah_treelets_native(pmin, pmax, leaf)
+    assert b_t is not None
+    b = sah.SAHTreelets(node_min=b_t[0], node_max=b_t[1], skip=b_t[2],
+                        leaf_of_node=b_t[3], order=b_t[4],
+                        leaf_start=b_t[5], leaf_count=b_t[6], depth=b_t[7])
+    for f in ("node_min", "node_max", "skip", "leaf_of_node", "order",
+              "leaf_start", "leaf_count"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+    assert a.depth == b.depth
+    sah.validate_treelets(b, pmin, pmax)
+
+
+@needs_native
+def test_native_sah_is_faster_at_scale():
+    from pathtracer_cuda_interactive_tpu.models import sah
+    pmin, pmax = _random_boxes(400000, seed=11)
+    t0 = time.perf_counter()
+    nat = native.build_sah_treelets_native(pmin, pmax, 512)
+    t_native = time.perf_counter() - t0
+    assert nat is not None
+    t0 = time.perf_counter()
+    sah._build_sah_treelets_numpy(pmin, pmax, 512)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy, (t_native, t_numpy)
