@@ -414,7 +414,23 @@ def scaling_report(width: int = 640, height: int = 480,
     """Measure renders/s on 1 device vs the full mesh (SURVEY.md §6 scaling
     efficiency target ≥80%) for any compute path (``mode`` as in
     render_samples_sharded — the fast paths, not just the xla oracle).
-    Returns {n_devices, mode, speedup, efficiency}.
+    Returns {n_devices, mode, speedup, efficiency, per_shard_overhead}.
+
+    READING THE NUMBERS ON A VIRTUAL CPU MESH (the only mesh available in
+    this environment): ``speedup``/``efficiency`` are NOT hardware scaling
+    predictions there.  All N virtual devices share one host's cores, and
+    a single XLA:CPU device already uses every core through intra-op
+    parallelism — so a compute-saturating single-device baseline leaves an
+    N-device run nothing to win (speedup <= ~1 is EXPECTED for the xla
+    mode; the wavefront mode gains because its per-shard programs
+    under-parallelize alone).  The transferable metric is
+    ``per_shard_overhead`` = (time of the N-device mesh step) / (time of
+    ONE device running ONE shard's work): everything above 1.0 is
+    partition+collective+dispatch overhead — plus, on the virtual mesh
+    only, host core contention — so it UPPER-BOUNDS the per-chip overhead
+    a real ICI mesh would see, where each shard owns its chip.  Real
+    ≥80%-efficiency evaluation needs real chips (BASELINE.md north star);
+    this environment exposes a single tunneled TPU chip.
 
     Timing syncs through an actual device->host readback: on the tunneled
     TPU platform ``block_until_ready`` can return before execution
@@ -422,18 +438,18 @@ def scaling_report(width: int = 640, height: int = 480,
     (tools/probe_hw.py documents this)."""
     import time
 
-    def run(mesh):
+    def run(mesh, ns):
         scene_m = replicate_scene(scene, mesh)
         cam_m = jax.device_put(cam_data, NamedSharding(mesh, P()))
         out = render_samples_sharded(scene_m, cam_m, width, height,
-                                     jnp.uint32(0), num_samples, mesh,
+                                     jnp.uint32(0), ns, mesh,
                                      mode=mode, interpret=interpret)
         np.asarray(out).sum()
         t0 = time.perf_counter()
         acc = None
         for k in range(repeats):
             out = render_samples_sharded(scene_m, cam_m, width, height,
-                                         jnp.uint32(k + 1), num_samples,
+                                         jnp.uint32(k + 1), ns,
                                          mesh, mode=mode,
                                          interpret=interpret)
             acc = out if acc is None else acc + out
@@ -441,8 +457,12 @@ def scaling_report(width: int = 640, height: int = 480,
         return repeats / (time.perf_counter() - t0)
 
     devs = jax.devices()
-    f1 = run(make_mesh(devs[:1]))
-    fN = run(make_mesh(devs))
     n = len(devs)
+    f1 = run(make_mesh(devs[:1]), num_samples)
+    fN = run(make_mesh(devs), num_samples)
+    # one device, one shard's worth of work (the N-device mesh splits the
+    # sample axis N ways and each tile shard gets 1/n_tiles of the slots)
+    f_shard = run(make_mesh(devs[:1]), max(1, -(-num_samples // n)))
     return {"n_devices": n, "mode": mode, "speedup": fN / f1,
-            "efficiency": fN / f1 / n}
+            "efficiency": fN / f1 / n,
+            "per_shard_overhead": f_shard / fN}

@@ -18,6 +18,8 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "pairs:sig_mort"
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
+    from pathtracer_cuda_interactive_tpu.utils.config import setup_jax
+    setup_jax()
     import jax.numpy as jnp
     from pathtracer_cuda_interactive_tpu.models.bricks import BrickSet
     from pathtracer_cuda_interactive_tpu.models.scenepack import load_scene
