@@ -163,11 +163,11 @@ def main() -> int:
     except Exception as e:      # pragma: no cover
         extra["cbox_mrays_error"] = f"{type(e).__name__}: {e}"[:160]
 
-    # ---- bunny: both large-scene paths, report the measured winner ----
-    # wavefront first: it is the known-fast path, and the mx2 compile
-    # (~4 min uncached) must never crowd the winner out of the budget
+    # ---- bunny: the shipping large-scene path (sorted wavefront, slim
+    # walk + sig_mort sort — the r4 measured winner; the retired mx/mx2
+    # experiments live in experiments/ and are no longer benched here)
     results = {}
-    for mode in ("wavefront", "mx2"):
+    for mode in ("wavefront",):
         if time.perf_counter() - BENCH_T0 > TIME_BUDGET_S - 120:
             break
         try:
@@ -183,6 +183,7 @@ def main() -> int:
             "bunny_msamples_s": round(ms, 3),
             "bunny_vs_baseline": round(ms / BASE_BUNNY, 4),
             "bunny_mode": win,
+            "bunny_trace": "slim+sig_mort",   # r4 winning engine + sort
             "bunny_init_s": round(init_s, 2),
         })
         try:
@@ -210,22 +211,13 @@ def main() -> int:
                 pack = pack_scene(big)
                 cam = Camera.from_parsed(parsed.camera)
                 cd = jnp.asarray(camera_ray_data(cam, W, H))
-                if win == "mx2":
-                    from pathtracer_cuda_interactive_tpu.models.mx2set import (
-                        MX2Set)
-                    from pathtracer_cuda_interactive_tpu.ops.mx2 import (
-                        render_samples_mx2)
-                    scene = jax.device_put(MX2Set.from_pack(pack))
-                    fn = lambda s0: render_samples_mx2(
-                        scene, cd, W, H, jnp.uint32(s0), SPF)
-                else:
-                    from pathtracer_cuda_interactive_tpu.models.bricks import (
-                        BrickSet)
-                    from pathtracer_cuda_interactive_tpu.ops.wavefront import (
-                        render_samples_wavefront)
-                    scene = jax.device_put(BrickSet.from_pack(pack))
-                    fn = lambda s0: render_samples_wavefront(
-                        scene, cd, W, H, jnp.uint32(s0), SPF)
+                from pathtracer_cuda_interactive_tpu.models.bricks import (
+                    BrickSet)
+                from pathtracer_cuda_interactive_tpu.ops.wavefront import (
+                    render_samples_wavefront)
+                scene = jax.device_put(BrickSet.from_pack(pack))
+                fn = lambda s0: render_samples_wavefront(
+                    scene, cd, W, H, jnp.uint32(s0), SPF)
                 init_s = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 first = float(np.asarray(fn(0)).mean())

@@ -47,13 +47,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.mx2set import MX2Set, NUM_SUBS, SB_PRIMS, SLAB_ROWS, SUB_PRIMS
-from . import rng
-from .geometry import intersect_sphere
-from .integrator import LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR
+from .mx2set import MX2Set, NUM_SUBS, SB_PRIMS, SLAB_ROWS, SUB_PRIMS
+from ..ops import rng
+from ..ops.geometry import intersect_sphere
+from ..ops.integrator import LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR
 from .mxtrace import _interval_cull
-from .vec import Vec3, cross, dot, where
-from .wavefront import (MAX_RAYS_PER_WAVE, _nee_term, _shade, _sort_key,
+from ..ops.vec import Vec3, cross, dot, where
+from ..ops.wavefront import (MAX_RAYS_PER_WAVE, _nee_term, _shade, _sort_key,
                         _wave_layout, camera_rays)
 
 INF = float("inf")

@@ -39,11 +39,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .bvh import morton_codes
-from .device_scene import _build_prim_rows
+from ..models.bvh import morton_codes
+from ..models.device_scene import _build_prim_rows
 from .mxset import _tri_coeff
-from .sah import build_sah_treelets
-from .scenepack import ScenePack
+from ..models.sah import build_sah_treelets
+from ..models.scenepack import ScenePack
 
 SB_PRIMS = 512           # triangles per superbrick (one [256,128] slab)
 SUB_PRIMS = 32           # triangles per sub-brick (one MXU pass)

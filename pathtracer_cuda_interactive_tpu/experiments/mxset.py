@@ -33,9 +33,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .device_scene import _build_prim_rows
-from .sah import build_sah_treelets
-from .scenepack import ScenePack
+from ..models.device_scene import _build_prim_rows
+from ..models.sah import build_sah_treelets
+from ..models.scenepack import ScenePack
 
 MX_BRICK_PRIMS = 128   # triangles per brick (one [10, 512] coeff slab)
 

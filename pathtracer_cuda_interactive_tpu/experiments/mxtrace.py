@@ -37,12 +37,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models.mxset import MXSet
-from . import rng
-from .geometry import intersect_sphere
-from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
-from .vec import Vec3, where
-from .wavefront import (_nee_term, _shade, _sort_key, _wave_layout,
+from .mxset import MXSet
+from ..ops import rng
+from ..ops.geometry import intersect_sphere
+from ..ops.integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
+from ..ops.vec import Vec3, where
+from ..ops.wavefront import (_nee_term, _shade, _sort_key, _wave_layout,
                         camera_rays)
 
 INF = float("inf")
@@ -60,7 +60,7 @@ MX_MAX_RAYS_PER_WAVE = 1 << 18
 # is one [1, 128] SoA row)
 # ---------------------------------------------------------------------------
 
-from .pairtrace import _interval_cull, _minmax_masked  # noqa: E402,F401
+from ..ops.pairtrace import _interval_cull, _minmax_masked  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -338,15 +338,21 @@ def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse):
         hit = (tf >= jnp.maximum(tn, 0.0)) & (coarse[k, 6] > 0.0)
         sig = sig | jnp.where(hit, jnp.int32(1 << k), 0)
 
+    # Morton bits shrink as the signature widens so the key stays in i32:
+    # K sig bits + 3*mb Morton bits <= 30
+    K = int(coarse.shape[0])
+    mb = min(7, (30 - K) // 3)
+    top = float(2 ** mb - 1)
+
     def q(c, l, s):
-        x = jnp.clip((c - l) * s * 127.0, 0.0, 127.0)
+        x = jnp.clip((c - l) * s * top, 0.0, top)
         return x.astype(jnp.int32)
 
     mx = _spread3(q(org.x, lo[0], inv_extent[0]))
     my = _spread3(q(org.y, lo[1], inv_extent[1]))
     mz = _spread3(q(org.z, lo[2], inv_extent[2]))
     morton = (mx << 2) | (my << 1) | mz
-    key = (sig << 21) | morton
+    key = (sig << (3 * mb)) | morton
     return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
 
 
@@ -596,7 +602,7 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
                              interpret: bool = False,
                              rr_start_depth: int = RR_START_DEPTH,
                              sort_mode: str = "sig_mort",
-                             nee: bool = False, trace: str = "pairs"):
+                             nee: bool = False, trace: str = "slim"):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
     wave render in chunks (shapes stay static per chunk size).

@@ -196,8 +196,8 @@ def _render_sharded_bricks(bs, cam_data, sample_start, width, height,
 def _render_sharded_wavefront(bs, cam_data, pix_slots, scene_lo, scene_inv,
                               sample_start, width, height, num_samples,
                               seed, max_depth, mesh, interpret=False,
-                              rr_start_depth=5, sort_mode="mort_oct",
-                              nee=False, trace="pairs"):
+                              rr_start_depth=5, sort_mode="sig_mort",
+                              nee=False, trace="slim"):
     """Tile+sample sharding of the sorted-wavefront tracer: the slot->pixel
     map is sharded over tiles (each chip sorts and traces only its own
     rays); per-chip partial images psum over both axes."""
@@ -244,9 +244,9 @@ def _render_sharded_mx(mx, cam_data, pix_slots, sample_start, width, height,
                        num_samples, seed, max_depth, mesh,
                        rr_start_depth=5, sort_mode="mort_oct", nee=False):
     """Tile+sample sharding of the MXU Plucker-matmul tracer
-    (ops/mxtrace.py): slot map sharded over tiles, partial images psum
+    (experiments/mxtrace.py): slot map sharded over tiles, partial images psum
     over both axes.  Pure XLA, so it runs unmodified on CPU meshes."""
-    from ..ops.mxtrace import render_samples_mx
+    from ..experiments.mxtrace import render_samples_mx
     ns_shard = mesh.shape[SAMPLE_AXIS]
     ns_local = -(-num_samples // ns_shard)
 
@@ -276,9 +276,9 @@ def _render_sharded_mx2(mx, cam_data, pix_slots, sample_start, width, height,
                         rr_start_depth=5, sort_mode="mort_oct", nee=False,
                         interpret=False):
     """Tile+sample sharding of the Pallas MXU superbrick tracer
-    (ops/mx2.py): slot map sharded over tiles, partial images psum over
+    (experiments/mx2.py): slot map sharded over tiles, partial images psum over
     both axes."""
-    from ..ops.mx2 import render_samples_mx2
+    from ..experiments.mx2 import render_samples_mx2
     ns_shard = mesh.shape[SAMPLE_AXIS]
     ns_local = -(-num_samples // ns_shard)
 
@@ -306,9 +306,9 @@ def render_samples_sharded(scene, cam_data, width: int,
                            max_depth: int = MAX_DEPTH, mode: str = "xla",
                            interpret: bool = False,
                            rr_start_depth: int = 5,
-                           sort_mode: str = "mort_oct",
+                           sort_mode: str = "sig_mort",
                            nee: bool = False,
-                           trace: str = "pairs") -> jnp.ndarray:
+                           trace: str = "slim") -> jnp.ndarray:
     """Sharded render dispatch: returns the [H, W, 3] radiance sum of
     EXACTLY ``num_samples`` passes, computed across the mesh (per-chip pass
     counts ceil-round, but the surplus passes are masked out of the sum).

@@ -23,12 +23,12 @@ import numpy as np
 
 from ..models.bricks import BrickSet
 from ..models.device_scene import DeviceScene
-from ..models.mx2set import MX2Set
-from ..models.mxset import MXSet
+from ..experiments.mx2set import MX2Set
+from ..experiments.mxset import MXSet
 from ..models.scenepack import ScenePack, load_scene
 from ..ops.brickkernel import render_samples_bricks
-from ..ops.mx2 import render_samples_mx2
-from ..ops.mxtrace import render_samples_mx
+from ..experiments.mx2 import render_samples_mx2
+from ..experiments.mxtrace import render_samples_mx
 from ..ops.wavefront import render_samples_wavefront
 from ..ops.camera import Camera, camera_ray_data
 from ..ops.integrator import MAX_DEPTH, render_samples
@@ -39,15 +39,18 @@ from ..utils.config import RenderConfig, setup_jax
 
 def _render_mode(pack, width: int, height: int,
                  large_scene_mode: str = "wavefront") -> str:
-    """Static dispatch between the compute paths:
+    """Static dispatch between the compute paths.  The SUPPORTED matrix is
+    three paths:
       * "megakernel" — small scenes, resident-SMEM Pallas kernel
-      * "mx2"        — large triangle scenes, Pallas MXU superbrick tracer
-      * "mx"         — same scenes, XLA MXU Plucker-matmul rounds (opt-in)
-      * "wavefront"  — same scenes, sorted-wavefront Pallas brick tracer
-      * "bricks"     — same scenes, persistent-lane brick tracer (opt-in
-                       via RenderConfig.large_scene_mode)
-      * "xla"        — CPU test platform (Mosaic only targets TPU) and the
-                       rare large sphere-only scene
+      * "wavefront"  — large triangle scenes, sorted-wavefront tracer
+                       (pair-list or slim-walk engine, ops/wavefront.py)
+      * "xla"        — the oracle: CPU test platform (Mosaic only targets
+                       TPU) and the rare large sphere-only scene
+    The RETIRED experiments (measured slower on TPU — see
+    experiments/__init__.py) stay reachable only by explicit opt-in:
+      * "mx2" / "mx" via RenderConfig.large_scene_mode, or by handing a
+        prebuilt MX2Set / MXSet;
+      * "bricks" (persistent-lane packet kernel) via large_scene_mode.
 
     Accepts a ScenePack, a DeviceScene (has the same count attributes), a
     prebuilt BrickSet, MXSet or MX2Set (pins the large-scene path).
@@ -80,7 +83,7 @@ def _render_mode(pack, width: int, height: int,
 def _accumulate_step(scene, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
                      max_depth: int, mode: str, nee: bool = False,
-                     rr_start_depth: int = 5, trace: str = "pairs"):
+                     rr_start_depth: int = 5, trace: str = "slim"):
     if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,

@@ -39,15 +39,16 @@ class RenderConfig:
     enable_nee: bool = False
     # large-triangle-scene compute path: "wavefront" (bounce-synchronous
     # sorted re-packetization, ops/wavefront.py — the default, and the
-    # measured winner on real TPU, BENCH_r03), "mx2" (Pallas MXU
-    # superbrick tracer, ops/mx2.py), "mx" (XLA MXU Plucker-matmul
-    # rounds, ops/mxtrace.py) or "bricks" (persistent-lane packet
-    # kernel, ops/brickkernel.py)
+    # measured winner on real TPU every round).  The retired experiments
+    # ("mx2", "mx", "bricks" — see experiments/__init__.py) remain
+    # reachable here by explicit opt-in only.
     large_scene_mode: str = "wavefront"
-    # per-wave closest-hit engine of the wavefront path: "pairs" (XLA
-    # visit lists + flat Pallas pair grid, ops/pairtrace.py — the round-4
-    # default) or "slim" (the round-3 scalar-walk brick kernel)
-    wavefront_trace: str = "pairs"
+    # per-wave closest-hit engine of the wavefront path: "slim" (the
+    # scalar-walk brick kernel — the measured winner on TPU under the
+    # sig_mort sort, 0.78 vs 0.51 Msamples/s on bunny, PERFLOG.md r4) or
+    # "pairs[N]" (XLA visit lists + flat Pallas pair grid,
+    # ops/pairtrace.py)
+    wavefront_trace: str = "slim"
 
 
 _CONFIGURED = False

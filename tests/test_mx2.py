@@ -7,14 +7,14 @@ import pytest
 import jax.numpy as jnp
 
 from pathtracer_cuda_interactive_tpu.models.device_scene import DeviceScene
-from pathtracer_cuda_interactive_tpu.models.mx2set import (MX2Set, NUM_SUBS,
+from pathtracer_cuda_interactive_tpu.experiments.mx2set import (MX2Set, NUM_SUBS,
                                                            SB_PRIMS,
                                                            SUB_PRIMS,
                                                            build_mx2set)
 from pathtracer_cuda_interactive_tpu.models.scenepack import load_scene
 from pathtracer_cuda_interactive_tpu.ops import integrator
 from pathtracer_cuda_interactive_tpu.ops.camera import Camera, camera_ray_data
-from pathtracer_cuda_interactive_tpu.ops.mx2 import render_samples_mx2
+from pathtracer_cuda_interactive_tpu.experiments.mx2 import render_samples_mx2
 
 
 def test_builder_invariants(scenes_dir):

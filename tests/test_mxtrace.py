@@ -7,11 +7,11 @@ import pytest
 import jax.numpy as jnp
 
 from pathtracer_cuda_interactive_tpu.models.device_scene import DeviceScene
-from pathtracer_cuda_interactive_tpu.models.mxset import MXSet, _tri_coeff
+from pathtracer_cuda_interactive_tpu.experiments.mxset import MXSet, _tri_coeff
 from pathtracer_cuda_interactive_tpu.models.scenepack import load_scene
 from pathtracer_cuda_interactive_tpu.ops import integrator
 from pathtracer_cuda_interactive_tpu.ops.camera import Camera, camera_ray_data
-from pathtracer_cuda_interactive_tpu.ops.mxtrace import render_samples_mx
+from pathtracer_cuda_interactive_tpu.experiments.mxtrace import render_samples_mx
 
 
 def test_plucker_coeff_matches_moller_trumbore():

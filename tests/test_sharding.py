@@ -124,8 +124,8 @@ def test_sharded_wavefront_matches_single(teapot_scene):
 
 
 def test_sharded_mx_matches_single(teapot_scene):
-    from pathtracer_cuda_interactive_tpu.models.mxset import MXSet
-    from pathtracer_cuda_interactive_tpu.ops.mxtrace import render_samples_mx
+    from pathtracer_cuda_interactive_tpu.experiments.mxset import MXSet
+    from pathtracer_cuda_interactive_tpu.experiments.mxtrace import render_samples_mx
     pack, _, cd = teapot_scene
     mx = MXSet.from_pack(pack)
     mesh = sh.make_mesh(sample_parallel=2)
@@ -138,8 +138,8 @@ def test_sharded_mx_matches_single(teapot_scene):
 
 
 def test_sharded_mx2_matches_single(teapot_scene):
-    from pathtracer_cuda_interactive_tpu.models.mx2set import MX2Set
-    from pathtracer_cuda_interactive_tpu.ops.mx2 import render_samples_mx2
+    from pathtracer_cuda_interactive_tpu.experiments.mx2set import MX2Set
+    from pathtracer_cuda_interactive_tpu.experiments.mx2 import render_samples_mx2
     pack, _, cd = teapot_scene
     mx = MX2Set.from_pack(pack)
     mesh = sh.make_mesh(sample_parallel=2)
