@@ -135,8 +135,31 @@ def main() -> int:
     cbox_ms = _throughput(r, frames=30)
     cbox_lat = _synced_latency_ms(r)
 
+    # the environment's own per-dispatch floor: a TRIVIAL donated add,
+    # timed with the same 4-byte dependent readback the renderer syncs on.
+    # Everything of cbox_synced_latency_ms above this line is chip time;
+    # the floor itself is tunnel round-trip, not renderer cost (measured
+    # 28.7 ms median on the axon tunnel, r4 — the reference's 55-65 FPS
+    # per-frame sync would be impossible on this link for ANY renderer).
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((H, W, 3), jnp.float32)
+    triv = jax.jit(lambda a: a + 1.0, donate_argnums=0)
+    x = triv(x)
+    np.asarray(x[:1, :1, :1])
+    floors = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        x = triv(x)
+        np.asarray(x[:1, :1, :1])
+        floors.append(time.perf_counter() - t0)
+    import numpy as _np
+    floor_ms = float(_np.median(floors)) * 1e3
+
     extra = {"cbox_synced_latency_ms": round(cbox_lat, 2),
-             "cbox_synced_fps": round(1e3 / cbox_lat, 1)}
+             "cbox_synced_fps": round(1e3 / cbox_lat, 1),
+             "dispatch_sync_floor_ms": round(floor_ms, 2),
+             "cbox_synced_chip_ms": round(cbox_lat - floor_ms, 2)}
 
     # batched dispatch: 16 spp per launch through the same kernel (the
     # integrator's in-kernel sample fori_loop with identical RNG streams)
