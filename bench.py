@@ -43,7 +43,7 @@ BENCH_T0 = time.perf_counter()
 TIME_BUDGET_S = 520          # stay under the driver's timeout no matter what
 
 
-def _throughput(r, frames: int, passes: int = 2) -> float:
+def _throughput(r, frames: int, passes: int = 3) -> float:
     """Best-of-N pipelined throughput in Msamples/s.  Frames are dispatched
     without a per-frame host sync; the timed region ends with a real
     device->host readback of the accumulation buffer, so all frames must

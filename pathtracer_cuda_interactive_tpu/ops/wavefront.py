@@ -13,12 +13,14 @@ coherent again:
 
   wave 0   camera rays in TILE screen tiles (already coherent; no sort)
   wave b   one fused ``lax.sort`` of the live-ray SoA by a coherence key
-           (Morton code of the ray origin over the scene box, with the
-           direction octant in the low bits; dead rays sort to the end so
-           trailing packets are all-dead and their tree walk exits at the
-           root test) ... then one grid launch of the one-bounce Pallas
-           trace kernel (the brickkernel intersector minus the bounce
-           state machine), then fully-vectorized XLA shading/BRDF
+           (default "sig_mort": a 16-bit TARGET SIGNATURE — which coarse
+           scene regions the ray's line can touch, _sig_key — above an
+           origin Morton code; dead rays sort to the end so trailing
+           packets are all-dead and their tree walk exits at the root
+           test) ... then one grid launch of the one-bounce Pallas trace
+           kernel (the brickkernel intersector minus the bounce state
+           machine — or the pair-list grid, ops/pairtrace.py, via
+           ``trace="pairs"``), then fully-vectorized XLA shading/BRDF
            sampling/Russian roulette (ops/brdf.py — the same code path the
            oracle integrator uses).
 
