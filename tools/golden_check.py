@@ -59,11 +59,15 @@ def tiles(img, grid=GRID):
 
 
 def render(xml, W, H, spp, seed=1984):
+    # a single 8-spp step size for EVERY call keeps each case at ONE jit
+    # variant (mixed 16/8 steps used to cost two multi-minute wavefront
+    # compiles per case and blow the recording window)
+    assert spp % 8 == 0, spp
     r = ProgressiveRenderer.from_xml(xml, width=W, height=H,
                                      config=RenderConfig(seed=seed))
     t0 = time.time()
     while r.sample_count < spp:
-        r.step(min(16, spp - r.sample_count), sync=False)
+        r.step(8, sync=False)
     img = r.framebuffer().astype(np.float32) / 255.0  # forces the readback
     return img, r.mode, time.time() - t0
 
