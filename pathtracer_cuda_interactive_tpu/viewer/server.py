@@ -56,14 +56,25 @@ class ViewerState:
                 spf = self.samples_per_frame
             r.set_camera(cam)           # epsilon-compare + accum reset
             r.set_samples_per_frame(spf)
-            r.step()
-            png = img_util.encode_png(r.framebuffer(), level=1)
+            r.step()                    # synced: frame_ms is honest
             now = time.perf_counter()
             with self.lock:
-                self.frame_png = png
                 dt = now - last
                 self.fps = 1.0 / dt if dt > 0 else 0.0
             last = now
+        # NOTE the frame PNG is produced ON DEMAND (frame_png_now): the
+        # reference's display reads the accumulation buffer from managed
+        # memory at display time (opengl_display.cpp:99-117); our analog
+        # of that read is the tunnel D2H + PNG encode, which belongs to
+        # the CLIENT poll, not to every render-loop turn — encoding 900 KB
+        # per loop capped the whole viewer at ~4 FPS regardless of chip
+        # speed.
+
+    def frame_png_now(self) -> bytes:
+        png = img_util.encode_png(self.renderer.framebuffer(), level=1)
+        with self.lock:
+            self.frame_png = png
+        return png
 
     def handle_event(self, ev: dict) -> None:
         c = self.controls
@@ -195,9 +206,7 @@ def make_handler(state: ViewerState):
             if self.path == "/":
                 self._send(200, "text/html", _PAGE.encode())
             elif self.path == "/frame":
-                with state.lock:
-                    png = state.frame_png
-                self._send(200, "image/png", png)
+                self._send(200, "image/png", state.frame_png_now())
             elif self.path == "/state":
                 self._send(200, "application/json", state.state_json())
             else:
