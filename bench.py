@@ -103,24 +103,6 @@ def _avg_path_length(xml: str, w: int = 160, h: int = 120,
     return float(rays) / float(samples)
 
 
-def _bunny_mode_throughput(mode: str, frames: int = 6):
-    """(Msamples/s, init_s) for one large-scene path on the bunny."""
-    import numpy as np
-
-    from pathtracer_cuda_interactive_tpu.render.renderer import (
-        ProgressiveRenderer)
-    from pathtracer_cuda_interactive_tpu.utils.config import RenderConfig
-
-    t0 = time.perf_counter()
-    r = ProgressiveRenderer.from_xml(
-        BUNNY, config=RenderConfig(large_scene_mode=mode), width=W, height=H)
-    r.step(SPF, sync=False)
-    np.asarray(r.accum).sum()
-    init_s = time.perf_counter() - t0
-    ms = _throughput(r, frames=frames, passes=2)
-    return ms, init_s, r.mode
-
-
 def main() -> int:
     from pathtracer_cuda_interactive_tpu.render.renderer import (
         ProgressiveRenderer)
@@ -186,82 +168,37 @@ def main() -> int:
     except Exception as e:      # pragma: no cover
         extra["cbox_mrays_error"] = f"{type(e).__name__}: {e}"[:160]
 
-    # ---- bunny: the shipping large-scene path (sorted wavefront, slim
-    # walk + sig_mort sort — the r4 measured winner; the retired mx/mx2
-    # experiments live in experiments/ and are no longer benched here)
-    results = {}
-    for mode in ("wavefront",):
-        if time.perf_counter() - BENCH_T0 > TIME_BUDGET_S - 120:
-            break
-        try:
-            ms, init_s, actual = _bunny_mode_throughput(mode)
-            results[mode] = (ms, init_s)
-            extra[f"bunny_{mode}_msamples_s"] = round(ms, 3)
-        except Exception as e:  # pragma: no cover
-            extra[f"bunny_{mode}_error"] = f"{type(e).__name__}: {e}"[:160]
-    if results:
-        win = max(results, key=lambda m: results[m][0])
-        ms, init_s = results[win]
-        extra.update({
-            "bunny_msamples_s": round(ms, 3),
-            "bunny_vs_baseline": round(ms / BASE_BUNNY, 4),
-            "bunny_mode": win,
-            "bunny_trace": "slim+sig_mort",   # r4 winning engine + sort
-            "bunny_init_s": round(init_s, 2),
-        })
-        try:
-            plb = _avg_path_length(BUNNY, w=128, h=96)
-            extra["bunny_avg_path_len"] = round(plb, 3)
-            extra["bunny_mrays_s"] = round(ms * plb, 1)
-        except Exception as e:  # pragma: no cover
-            extra["bunny_mrays_error"] = f"{type(e).__name__}: {e}"[:160]
+    # ---- bunny + buddha-surrogate: the shipping large-scene path (sorted
+    # wavefront, slim walk + sig_mort sort — the r4 measured winner; the
+    # retired mx/mx2 experiments live in experiments/ and are not benched).
+    # Each stage runs OUT OF PROCESS with a hard wall-clock cap: a
+    # cold-cache wavefront compile costs 3-8 min depending on tunnel
+    # weather, and an overrunning stage must cost bench.py its stage,
+    # never the JSON line (tools/bench_large_stage.py).
+    import subprocess
 
-        # ---- >=1M-triangle row (stripped-buddha surrogate) ------------
-        if time.perf_counter() - BENCH_T0 < TIME_BUDGET_S - 150:
-            try:
-                import jax
-                import jax.numpy as jnp
-                from pathtracer_cuda_interactive_tpu.models.scenepack import (
-                    load_scene, pack_scene)
-                from pathtracer_cuda_interactive_tpu.models.subdivide import (
-                    subdivide_scene)
-                from pathtracer_cuda_interactive_tpu.ops.camera import (
-                    Camera, camera_ray_data)
-
-                t0 = time.perf_counter()
-                _, parsed = load_scene(BUNNY)
-                big = subdivide_scene(parsed, levels=1)
-                pack = pack_scene(big)
-                cam = Camera.from_parsed(parsed.camera)
-                cd = jnp.asarray(camera_ray_data(cam, W, H))
-                from pathtracer_cuda_interactive_tpu.models.bricks import (
-                    BrickSet)
-                from pathtracer_cuda_interactive_tpu.ops.wavefront import (
-                    render_samples_wavefront)
-                scene = jax.device_put(BrickSet.from_pack(pack))
-                fn = lambda s0: render_samples_wavefront(
-                    scene, cd, W, H, jnp.uint32(s0), SPF)
-                init_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                first = float(np.asarray(fn(0)).mean())
-                assert np.isfinite(first) and first > 0
-                frames = 4
-                t0 = time.perf_counter()
-                acc = None
-                for f in range(frames):
-                    out = fn((f + 1) * SPF)
-                    acc = out if acc is None else acc + out
-                np.asarray(acc).sum()
-                ms_big = frames * SPF * W * H / (time.perf_counter() - t0) / 1e6
-                extra.update({
-                    "buddha_surrogate_tris": int(pack.num_triangles),
-                    "buddha_surrogate_msamples_s": round(ms_big, 3),
-                    "buddha_surrogate_vs_baseline": round(
-                        ms_big / BASE_BUDDHA, 4),
-                    "buddha_surrogate_init_s": round(init_s, 1),
-                })
-            except Exception as e:  # pragma: no cover
-                extra["buddha_error"] = f"{type(e).__name__}: {e}"[:160]
+    for stage in ("bunny", "buddha"):
+        left = TIME_BUDGET_S - (time.perf_counter() - BENCH_T0)
+        if left < 120:
+            extra[f"{stage}_skipped"] = "time budget exhausted"
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u",
+                 "/root/repo/tools/bench_large_stage.py", stage],
+                capture_output=True, text=True, timeout=left - 30)
+            line = [ln for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")]
+            if proc.returncode == 0 and line:
+                extra.update(json.loads(line[-1]))
+            else:
+                tail = (proc.stderr or proc.stdout or "").strip()[-140:]
+                extra[f"{stage}_error"] = f"rc={proc.returncode}: {tail}"
+        except subprocess.TimeoutExpired:
+            extra[f"{stage}_error"] = "stage hit its wall-clock cap " \
+                "(cold-cache compile in bad tunnel weather)"
+        except Exception as e:  # pragma: no cover
+            extra[f"{stage}_error"] = f"{type(e).__name__}: {e}"[:160]
 
     print(json.dumps({
         "metric": "cbox_progressive_throughput",
