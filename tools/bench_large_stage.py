@@ -45,9 +45,15 @@ def bunny(frames=6):
     r = ProgressiveRenderer.from_xml(
         BUNNY, config=RenderConfig(large_scene_mode="wavefront"),
         width=W, height=H)
+    init_s = time.perf_counter() - t0    # parse + SAH bricks + upload
+    t0 = time.perf_counter()
     r.step(SPF, sync=False)
     np.asarray(r.accum).sum()
-    init_s = time.perf_counter() - t0
+    # jit compile dominates this and varies 3-8 min with tunnel weather
+    # (the persistent cache misses across processes — Pallas HLO
+    # fingerprints are not process-stable); reported separately so init_s
+    # matches the reference's parse+build+upload accounting
+    first_s = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(2):
@@ -63,6 +69,7 @@ def bunny(frames=6):
         "bunny_mode": r.mode,
         "bunny_trace": "slim+sig_mort",
         "bunny_init_s": round(init_s, 2),
+        "bunny_first_step_compile_s": round(first_s, 1),
     }
     try:
         pl = _avg_path_length(BUNNY)
