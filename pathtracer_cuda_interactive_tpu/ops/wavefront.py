@@ -62,11 +62,12 @@ from .vec import Vec3, cross, dot, max_elem, normalize, where
 # Swept {8, 16, 32, 64} rows on v5e bunny waves (tools/ microbench, r3):
 # the walk's SCALAR cost (node steps, per-chunk any() reduces, serialized
 # brick DMA) dominates, so FEWER, larger packets win until the union cost
-# catches up — 32 rows (4096 rays) measured best on both primary (49 ms vs
-# 47/55/58 per 307k rays) and scrambled-secondary (711 ms vs 818/939/717)
-# waves.
+# catches up — 32 rows (4096 rays) measured best in the r3 sweep under
+# mort_oct AND re-confirmed in r4 under sig_mort (0.82 vs 0.79 Msamples/s
+# full-frame at 16 rows).
 WAVE_ROWS = 32
-TILE = (64, 64)              # primary-wave screen tile (WAVE_ROWS*128 px)
+# primary-wave screen tile: must cover exactly WAVE_ROWS*128 pixels
+TILE = (64, WAVE_ROWS * 128 // 64)
 INF = float("inf")
 # Cap on rays per wavefront launch; sample batches beyond this render in
 # chunks (keeps the 17-column live SoA + sort double buffer under ~300 MB).
