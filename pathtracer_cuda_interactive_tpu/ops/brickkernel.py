@@ -327,6 +327,154 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
     return intersect
 
 
+def make_brick_intersect_pipelined(boxes_ref, links_ref, bricks_ref,
+                                   scratch, stack_ref, sems):
+    """Slim packet walk with a two-slot DMA pipeline: when the walk
+    reaches leaf N+1 it STARTS that brick's copy and only then drains
+    leaf N (tri loops overlap the flight — the r3 attribution measured
+    ~11 ms/wave of serialized ``start(); wait()`` in the plain walk).
+    Best-t pruning during the walk is one brick stale (leaf N's hits are
+    not yet folded when the walk classifies nodes between N and N+1);
+    the per-chunk slab gates inside process are exact, so the only cost
+    of staleness is admitted-then-culled work, never a wrong image.
+
+    ``scratch`` is [2, BRICK_ROWS, 128] SMEM; ``sems`` a DMA pair.
+    Returns ``intersect(org, dirn, tnear, shape, active) -> (t, slot)``
+    (the slim contract of make_brick_intersect)."""
+
+    def intersect(org, dirn, tnear, shape, active):
+        best = (jnp.full(shape, INF, jnp.float32),
+                jnp.full(shape, -1.0, jnp.float32))
+        inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
+
+        def _slab_any(bmin, bmax, t_best):
+            tx0 = (bmin.x - org.x) * inv.x
+            tx1 = (bmax.x - org.x) * inv.x
+            ty0 = (bmin.y - org.y) * inv.y
+            ty1 = (bmax.y - org.y) * inv.y
+            tz0 = (bmin.z - org.z) * inv.z
+            tz1 = (bmax.z - org.z) * inv.z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            hitm = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+                    & active)
+            return jnp.any(hitm)
+
+        def drain(pend, pslot, best):
+            """Wait pending brick's DMA and brute-force it (chunk-gated)."""
+            def rd(kk, j):
+                return scratch[pslot, kk // 4, (kk % 4) * 32 + j]
+
+            def rdv(kk, j):
+                return Vec3(rd(kk, j), rd(kk, j + 1), rd(kk, j + 2))
+
+            def tri_body(k, b):
+                p0, e1, e2 = rdv(k, 1), rdv(k, 4), rdv(k, 7)
+                bt, bs = b
+                t, _u, _v, hit = _tri_test(p0, e1, e2, org, dirn, tnear, bt)
+                closer = hit & (t < bt)
+                sl = (pend * BRICK_PRIMS + k).astype(jnp.float32)
+                return (jnp.where(closer, t, bt), jnp.where(closer, sl, bs))
+
+            def sub_body(s, b):
+                c = s * 8
+                smn = Vec3(scratch[pslot, BRICK_DATA_ROWS, c],
+                           scratch[pslot, BRICK_DATA_ROWS, c + 1],
+                           scratch[pslot, BRICK_DATA_ROWS, c + 2])
+                smx = Vec3(scratch[pslot, BRICK_DATA_ROWS, c + 3],
+                           scratch[pslot, BRICK_DATA_ROWS, c + 4],
+                           scratch[pslot, BRICK_DATA_ROWS, c + 5])
+                valid = scratch[pslot, BRICK_DATA_ROWS, c + 6] > 0.0
+                anyhit = _slab_any(smn, smx, b[0]) & valid
+                return lax.cond(
+                    anyhit,
+                    lambda bb: lax.fori_loop(s * SUB_PRIMS,
+                                             (s + 1) * SUB_PRIMS,
+                                             tri_body, bb),
+                    lambda bb: bb, b)
+
+            pltpu.make_async_copy(bricks_ref.at[jnp.maximum(pend, 0)],
+                                  scratch.at[pslot],
+                                  sems.at[pslot]).wait()
+            return lax.fori_loop(0, NUM_SUBS, sub_body, best)
+
+        # near-first ordering key (same as the plain walk)
+        mdx = jnp.sum(jnp.where(active, dirn.x, 0.0))
+        mdy = jnp.sum(jnp.where(active, dirn.y, 0.0))
+        mdz = jnp.sum(jnp.where(active, dirn.z, 0.0))
+
+        def _center_key(n):
+            br, bc = n // 16, (n % 16) * 8
+            cxk = (boxes_ref[br, bc] + boxes_ref[br, bc + 3])
+            cyk = (boxes_ref[br, bc + 1] + boxes_ref[br, bc + 4])
+            czk = (boxes_ref[br, bc + 2] + boxes_ref[br, bc + 5])
+            return cxk * mdx + cyk * mdy + czk * mdz
+
+        stack_ref[0] = jnp.int32(0)
+
+        def cond(st):
+            return (st[0] > 0) | (st[1] >= 0)
+
+        def body(st):
+            sp, pend, pslot = st[0], st[1], st[2]
+            best = st[3:]
+            have = sp > 0
+            n = stack_ref[jnp.maximum(sp - 1, 0)]
+            br, bc = n // 16, (n % 16) * 8
+            bmin = Vec3(boxes_ref[br, bc], boxes_ref[br, bc + 1],
+                        boxes_ref[br, bc + 2])
+            bmax = Vec3(boxes_ref[br, bc + 3], boxes_ref[br, bc + 4],
+                        boxes_ref[br, bc + 5])
+            lr, lc = n // 64, (n % 64) * 2
+            brick = links_ref[lr, lc + 1]
+
+            anyhit = _slab_any(bmin, bmax, best[0]) & have
+            found = anyhit & (brick >= 0)
+            descend = anyhit & (brick < 0)
+            nslot = 1 - pslot
+
+            # start leaf N+1's copy into the free slot BEFORE draining N
+            @pl.when(found)
+            def _():
+                pltpu.make_async_copy(bricks_ref.at[brick],
+                                      scratch.at[nslot],
+                                      sems.at[nslot]).start()
+
+            do_drain = (pend >= 0) & (found | (sp <= 1))
+            best = lax.cond(do_drain,
+                            lambda b: drain(pend, pslot, b),
+                            lambda b: b, best)
+
+            @pl.when(descend)
+            def _():
+                left = n + 1
+                right = links_ref[left // 64, (left % 64) * 2]
+                lkey = _center_key(left)
+                rkey = _center_key(right)
+                near = jnp.where(lkey <= rkey, left, right)
+                far = jnp.where(lkey <= rkey, right, left)
+                stack_ref[sp - 1] = far
+                stack_ref[sp] = near   # popped first
+
+            sp = jnp.where(have,
+                           jnp.where(descend, sp + 1, sp - 1), sp)
+            pend = jnp.where(found, brick,
+                             jnp.where(do_drain, jnp.int32(-1), pend))
+            pslot = jnp.where(found, nslot, pslot)
+            return (sp, pend, pslot) + best
+
+        st = lax.while_loop(cond, body,
+                            (jnp.int32(1), jnp.int32(-1), jnp.int32(0))
+                            + best)
+        return st[3], st[4]
+
+    return intersect
+
+
 def _make_brick_kernel(width: int, height: int, S: int, Ntop: int,
                        num_samples: int, seed: int, max_depth: int,
                        block_rows: int, rr_start_depth: int):

@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.bricks import (BRICK_DATA_ROWS, BRICK_ROWS, STACK_DEPTH,
                              BrickSet)
 from . import brdf, rng
-from .brickkernel import make_brick_intersect
+from .brickkernel import (make_brick_intersect,
+                          make_brick_intersect_pipelined)
 from .pairtrace import trace_wave_pairs
 from .geometry import intersect_sphere
 from .integrator import (LANES, MAX_DEPTH, RR_START_DEPTH, SECONDARY_TNEAR)
@@ -136,6 +137,60 @@ def _make_trace_kernel_slim(S: int):
         out_slot[:] = slot
 
     return kernel
+
+
+def _make_trace_kernel_slim2():
+    """Slim one-bounce kernel over the DMA-pipelined walk
+    (brickkernel.make_brick_intersect_pipelined): leaf N's tri loops run
+    while leaf N+1's brick copy flies."""
+
+    def kernel(boxes_ref, links_ref, tn_ref, ox, oy, oz,
+               dx, dy, dz, act, bricks_ref, out_t, out_slot,
+               scratch, stack_ref, sems):
+        intersect = make_brick_intersect_pipelined(
+            boxes_ref, links_ref, bricks_ref, scratch, stack_ref, sems)
+        org = Vec3(ox[:], oy[:], oz[:])
+        dirn = Vec3(dx[:], dy[:], dz[:])
+        shape = org.x.shape
+        active = act[:] > 0.0
+        tnear = jnp.full(shape, tn_ref[0, 0])
+        t, slot = intersect(org, dirn, tnear, shape, active)
+        out_t[:] = t
+        out_slot[:] = slot
+
+    return kernel
+
+
+def _trace_wave_slim2(top_boxes, top_links, brick_data, tnear_scalar,
+                      ox, oy, oz, dx, dy, dz, act,
+                      interpret: bool = False):
+    """DMA-pipelined slim trace: same (t, slot) contract as
+    _trace_wave_slim (spheres in the caller's epilogue)."""
+    rows = ox.shape[0]
+    n_blocks = rows // WAVE_ROWS
+    assert brick_data.shape[0] * 512 < 2 ** 24
+    tn = jnp.full((1, 1), tnear_scalar, jnp.float32)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((WAVE_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+                      for _ in range(2))
+    t, slot = pl.pallas_call(
+        _make_trace_kernel_slim2(),
+        grid=(n_blocks,),
+        in_specs=[smem(top_boxes.shape), smem(top_links.shape),
+                  smem((1, 1))]
+                 + [ray_spec] * 7
+                 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(ray_spec, ray_spec),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((2, BRICK_ROWS, 128), jnp.float32),
+                        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(top_boxes, top_links, tn, ox, oy, oz, dx, dy, dz, act, brick_data)
+    return t, slot.astype(jnp.int32)
 
 
 def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
@@ -525,6 +580,11 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                 org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
                 interpret=interpret,
                 **({} if pr is None else {"packet_rows": pr}))
+        if trace == "slim2":
+            return _trace_wave_slim2(
+                top_boxes, top_links, brick_data, tnear,
+                org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
+                interpret=interpret)
         return _trace_wave_slim(
             sph_rows, top_boxes, top_links, brick_data, tnear,
             org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f, S,
