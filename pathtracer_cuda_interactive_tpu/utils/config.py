@@ -45,7 +45,8 @@ class RenderConfig:
     large_scene_mode: str = "wavefront"
     # per-wave closest-hit engine of the wavefront path: "slim" (the
     # scalar-walk brick kernel — the measured winner on TPU under the
-    # sig_mort sort, 0.78 vs 0.51 Msamples/s on bunny, PERFLOG.md r4) or
+    # sig_mort sort, 0.82 vs 0.51 Msamples/s on bunny, PERFLOG.md r4),
+    # "slim2" (same walk with a two-slot DMA pipeline, ~+2%), or
     # "pairs[N]" (XLA visit lists + flat Pallas pair grid,
     # ops/pairtrace.py)
     wavefront_trace: str = "slim"
