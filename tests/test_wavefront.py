@@ -39,6 +39,22 @@ def test_wavefront_matches_xla_shallow(teapot, sort_mode):
     assert np.abs(ref - got).mean() < 1e-3
 
 
+def test_wavefront_slim2_matches_xla(teapot):
+    """DMA-pipelined walk (trace='slim2') == oracle: the two-slot
+    pipeline's stale-by-one best-t may only admit extra work, never
+    change the closest hit."""
+    pack, parsed = teapot
+    ds = DeviceScene.from_pack(pack)
+    bs = BrickSet.from_pack(pack)
+    cd = jnp.asarray(camera_ray_data(Camera.from_parsed(parsed.camera), W, H))
+    ref = np.asarray(integrator.render_samples(
+        ds, cd, W, H, 0, 1, max_depth=3))
+    got = np.asarray(wavefront.render_samples_wavefront(
+        bs, cd, W, H, 0, 1, max_depth=3, interpret=True, trace="slim2"))
+    bad = ~np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert bad.mean() < 1e-3
+
+
 def test_wavefront_with_spheres_deep(scenes_dir):
     """Resident sphere table + multi-chunk sample batch + RR depth."""
     pack, parsed = load_scene(f"{scenes_dir}/aabb_test/aabb_test.xml")
