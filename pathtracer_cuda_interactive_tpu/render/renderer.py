@@ -33,6 +33,7 @@ from ..ops.wavefront import render_samples_wavefront
 from ..ops.camera import Camera, camera_ray_data
 from ..ops.integrator import MAX_DEPTH, render_samples
 from ..ops.megakernel import MEGAKERNEL_MAX_PRIMS, render_samples_pallas
+from ..utils import aotcache
 from ..utils import image as img_util
 from ..utils.config import RenderConfig, setup_jax
 
@@ -155,6 +156,12 @@ class ProgressiveRenderer:
         self.accum = jnp.zeros((height, width, 3), jnp.float32)
         self.sample_count = 0
         self.frame_ms = 0.0
+        # per-samples-per-launch compiled step executables.  Routed through
+        # the AOT executable cache (utils/aotcache.py) so a fresh process
+        # re-rendering a known (scene shapes, W, H, config) loads the
+        # serialized executable in <1 s instead of recompiling for minutes
+        # — the analog of the reference's build-time-compiled kernels.
+        self._exe_cache: dict = {}
 
     @classmethod
     def from_xml(cls, xml_path: str,
@@ -203,12 +210,19 @@ class ProgressiveRenderer:
         if sync is None:
             sync = self.config.sync_each_frame
         t0 = time.perf_counter()
-        self.accum = _accumulate_step(
-            self.scene, self._cam_data, self.accum,
-            jnp.uint32(self.sample_count), self.width, self.height,
-            ns, self.config.seed, self.config.max_depth, self.mode,
-            self.config.enable_nee, self.config.rr_start_depth,
-            self.config.wavefront_trace)
+        exe = self._exe_cache.get(ns)
+        if exe is None:
+            exe = aotcache.cached_compile(
+                _accumulate_step, self.scene, self._cam_data, self.accum,
+                jnp.uint32(self.sample_count), self.width, self.height,
+                ns, self.config.seed, self.config.max_depth, self.mode,
+                self.config.enable_nee, self.config.rr_start_depth,
+                self.config.wavefront_trace, tag=f"step_{self.mode}")
+            self._exe_cache[ns] = exe
+        # statics (width..trace) are baked into the executable; the call
+        # takes only the traced pytree
+        self.accum = exe(self.scene, self._cam_data, self.accum,
+                         jnp.uint32(self.sample_count))
         if sync:
             # A 4-byte dependent readback, not block_until_ready: on the
             # tunneled TPU platform block_until_ready can return before
