@@ -368,10 +368,11 @@ def _sort_key(org: Vec3, dirn: Vec3, active, lo, inv_extent):
 
 
 def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse):
-    """Target-signature sort key: the high 8 bits say WHICH coarse scene
-    regions (top-tree subtree boxes, models/bricks.py::_coarse_cut) the
-    ray's forward line can touch; the low 21 bits are the origin Morton
-    code.  Secondary hemispheres from one surface patch mix rays bound for
+    """Target-signature sort key: the high K = SIG_BOXES bits say WHICH
+    coarse scene regions (top-tree subtree boxes,
+    models/bricks.py::_coarse_cut) the ray's forward line can touch; the
+    low 3*mb bits (mb = min(7, (30-K)//3) Morton bits per axis — 12 bits
+    at the default K=16) are the origin Morton code.  Secondary hemispheres from one surface patch mix rays bound for
     the geometry with rays bound for the background — origin locality
     alone cannot separate them, and measured wave-1 packets saw 506 of
     803 bricks each (tools/probe_waves.py).  Grouping by reachable-region
@@ -670,10 +671,13 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
     wave render in chunks (shapes stay static per chunk size).
     ``nee=True`` samples point lights at every hit with shadow waves.
-    ``trace`` picks the per-wave closest-hit engine: "pairs[N]" (default,
-    ops/pairtrace.py, optional N = rows per packet) or "slim" (the round-3
-    scalar-walk kernel); ``sort_mode`` the inter-wave coherence key
-    ("sig_mort" target-signature default, "mort_oct" r3 key, "none")."""
+    ``trace`` picks the per-wave closest-hit engine: "slim" (the
+    scalar-walk brick kernel — the default and measured winner,
+    utils/config.py::RenderConfig.wavefront_trace), "slim2" (the same
+    walk with a two-slot DMA pipeline) or "pairs[N]" (XLA visit lists +
+    flat Pallas pair grid, ops/pairtrace.py, optional N = rows per
+    packet); ``sort_mode`` the inter-wave coherence key ("sig_mort"
+    target-signature default, "mort_oct" r3 key, "none")."""
     light_rows = None
     if nee and int(brickset.light_pos.shape[0]) > 0:
         light_rows = jnp.concatenate(

@@ -42,6 +42,13 @@ class ViewerState:
         self.controls = CameraController(renderer.camera, renderer.config)
         self.samples_per_frame = renderer.samples_per_frame
         self.lock = threading.Lock()
+        # Mutual exclusion between the render thread's step() (which
+        # DONATES the accumulation buffer) and handler-thread reads of
+        # renderer.framebuffer(): a /frame poll concurrent with step()
+        # could touch a donated/deleted JAX buffer or tonemap with a
+        # mismatched sample count (ADVICE r4).  The PNG encode itself
+        # stays on the handler thread.
+        self.render_lock = threading.Lock()
         self.frame_png = img_util.encode_png(renderer.framebuffer(), level=1)
         self.fps = 0.0
         self.stop = threading.Event()
@@ -54,9 +61,10 @@ class ViewerState:
             with self.lock:
                 cam = self.controls.camera
                 spf = self.samples_per_frame
-            r.set_camera(cam)           # epsilon-compare + accum reset
-            r.set_samples_per_frame(spf)
-            r.step()                    # synced: frame_ms is honest
+            with self.render_lock:
+                r.set_camera(cam)       # epsilon-compare + accum reset
+                r.set_samples_per_frame(spf)
+                r.step()                # synced: frame_ms is honest
             now = time.perf_counter()
             with self.lock:
                 dt = now - last
@@ -71,7 +79,9 @@ class ViewerState:
         # speed.
 
     def frame_png_now(self) -> bytes:
-        png = img_util.encode_png(self.renderer.framebuffer(), level=1)
+        with self.render_lock:          # no step() mid-read (ADVICE r4)
+            fb = self.renderer.framebuffer()
+        png = img_util.encode_png(fb, level=1)
         with self.lock:
             self.frame_png = png
         return png

@@ -61,14 +61,14 @@ def main():
 
     t0 = time.perf_counter()
     if args.mode == "mx2":
-        from pathtracer_cuda_interactive_tpu.models.mx2set import MX2Set
-        from pathtracer_cuda_interactive_tpu.ops.mx2 import render_samples_mx2
+        from pathtracer_cuda_interactive_tpu.experiments.mx2set import MX2Set
+        from pathtracer_cuda_interactive_tpu.experiments.mx2 import render_samples_mx2
         scene = jax.device_put(MX2Set.from_pack(pack))
         fn = lambda s0: render_samples_mx2(scene, cd, W, H, jnp.uint32(s0),
                                            SPF, max_depth=args.max_depth)
     elif args.mode == "mx":
-        from pathtracer_cuda_interactive_tpu.models.mxset import MXSet
-        from pathtracer_cuda_interactive_tpu.ops.mxtrace import (
+        from pathtracer_cuda_interactive_tpu.experiments.mxset import MXSet
+        from pathtracer_cuda_interactive_tpu.experiments.mxtrace import (
             render_samples_mx)
         scene = jax.device_put(MXSet.from_pack(pack))
         fn = lambda s0: render_samples_mx(scene, cd, W, H, jnp.uint32(s0),

@@ -32,11 +32,11 @@ W, H, SPF = 640, 480, 2
 def time_mode(pack, cam, mode, frames=4, max_depth=50, **kw):
     import jax.numpy as jnp
     from pathtracer_cuda_interactive_tpu.models.bricks import BrickSet
-    from pathtracer_cuda_interactive_tpu.models.mx2set import MX2Set
-    from pathtracer_cuda_interactive_tpu.models.mxset import MXSet
+    from pathtracer_cuda_interactive_tpu.experiments.mx2set import MX2Set
+    from pathtracer_cuda_interactive_tpu.experiments.mxset import MXSet
     from pathtracer_cuda_interactive_tpu.ops.camera import camera_ray_data
-    from pathtracer_cuda_interactive_tpu.ops.mx2 import render_samples_mx2
-    from pathtracer_cuda_interactive_tpu.ops.mxtrace import render_samples_mx
+    from pathtracer_cuda_interactive_tpu.experiments.mx2 import render_samples_mx2
+    from pathtracer_cuda_interactive_tpu.experiments.mxtrace import render_samples_mx
     from pathtracer_cuda_interactive_tpu.ops.wavefront import (
         render_samples_wavefront)
     import jax
