@@ -43,15 +43,20 @@ BENCH_T0 = time.perf_counter()
 TIME_BUDGET_S = 520          # stay under the driver's timeout no matter what
 
 
-def _throughput(r, frames: int, passes: int = 3) -> float:
+def _throughput(r, frames: int, passes: int = 5) -> float:
     """Best-of-N pipelined throughput in Msamples/s.  Frames are dispatched
     without a per-frame host sync; the timed region ends with a real
     device->host readback of the accumulation buffer, so all frames must
-    have fully executed on the TPU inside dt."""
+    have fully executed on the TPU inside dt.  Passes are SPACED (2 s
+    sleeps): tunnel-weather stalls last longer than one pass, and
+    back-to-back passes can all land in the same bad window (the
+    four-round cbox 'decline' was exactly that — PERFLOG r4)."""
     import numpy as np
 
     best_dt = float("inf")
-    for _ in range(passes):     # best-of-N: the tunnel adds rare stalls
+    for k in range(passes):     # best-of-N: the tunnel adds rare stalls
+        if k:
+            time.sleep(2.0)
         t0 = time.perf_counter()
         for _ in range(frames):
             r.step(SPF, sync=False)
@@ -138,10 +143,19 @@ def main() -> int:
     import numpy as _np
     floor_ms = float(_np.median(floors)) * 1e3
 
+    chip_ms = cbox_lat - floor_ms
+    chip_msps = SPF * W * H / chip_ms / 1e3
     extra = {"cbox_synced_latency_ms": round(cbox_lat, 2),
              "cbox_synced_fps": round(1e3 / cbox_lat, 1),
              "dispatch_sync_floor_ms": round(floor_ms, 2),
-             "cbox_synced_chip_ms": round(cbox_lat - floor_ms, 2)}
+             "cbox_synced_chip_ms": round(chip_ms, 2),
+             # floor-corrected CHIP-SIDE throughput: frame time with the
+             # measured tunnel round trip subtracted — the number
+             # comparable to the reference's locally-synced FPS
+             # (VERDICT r4 ask #4; the raw `value` keeps the link's
+             # session weather, this one does not)
+             "cbox_chip_side_msamples_s": round(chip_msps, 2),
+             "cbox_chip_side_vs_baseline": round(chip_msps / BASE_CBOX, 3)}
 
     # batched dispatch: 16 spp per launch through the same kernel (the
     # integrator's in-kernel sample fori_loop with identical RNG streams)

@@ -139,7 +139,8 @@ def _tri_record_body(read_vec, read_sc, k, best, org, dirn, tnear):
 
 def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                          scratch, stack_ref, sem, S: int,
-                         collect_stats: bool = False, slim: bool = False):
+                         collect_stats: bool = False, slim: bool = False,
+                         group_rows: int = 0):
     """Build the packet closest-hit closure over the SMEM top tree + DMA'd
     bricks.  Shared by the persistent-lane kernel below and the one-bounce
     wavefront trace kernel (ops/wavefront.py).  The returned
@@ -183,9 +184,8 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
         # geometry.slab_test: +/-inf propagates correctly)
         inv = Vec3(1.0 / dirn.x, 1.0 / dirn.y, 1.0 / dirn.z)
 
-        def _slab_any(bmin, bmax, t_best):
-            """Packet slab test vs a scalar AABB -> (vector mask
-            reduced with the live-lane mask, scalar any-hit)."""
+        def _slab_mask(bmin, bmax, t_best):
+            """Per-lane slab-hit mask vs a scalar AABB, live lanes only."""
             tx0 = (bmin.x - org.x) * inv.x
             tx1 = (bmax.x - org.x) * inv.x
             ty0 = (bmin.y - org.y) * inv.y
@@ -198,9 +198,12 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
             tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                          jnp.maximum(ty0, ty1)),
                              jnp.maximum(tz0, tz1))
-            hitm = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+            return ((tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
                     & active)
-            return jnp.any(hitm)
+
+        def _slab_any(bmin, bmax, t_best):
+            """Packet slab test vs a scalar AABB -> scalar any-hit."""
+            return jnp.any(_slab_mask(bmin, bmax, t_best))
 
         def process_brick(st):
             brick_id = st[1]
@@ -217,26 +220,82 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                         lambda kk, j: _brick_scalar(scratch, kk, j),
                         k, best, org, dirn, tnear)
 
-            def sub_body(s, st):
-                chunks, best = st[0], st[2:]
-                c = s * 8
-                smn = Vec3(scratch[BRICK_DATA_ROWS, c],
-                           scratch[BRICK_DATA_ROWS, c + 1],
-                           scratch[BRICK_DATA_ROWS, c + 2])
-                smx = Vec3(scratch[BRICK_DATA_ROWS, c + 3],
-                           scratch[BRICK_DATA_ROWS, c + 4],
-                           scratch[BRICK_DATA_ROWS, c + 5])
-                valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
-                anyhit = _slab_any(smn, smx, best[0]) & valid
-                if _DEBUG_SKIP != "tri":
-                    best = lax.cond(
-                        anyhit,
-                        lambda b: lax.fori_loop(s * SUB_PRIMS,
-                                                (s + 1) * SUB_PRIMS,
-                                                tri_body, b),
-                        lambda b: b, best)
-                chunks = chunks + jnp.where(anyhit, 1, 0).astype(jnp.int32)
-                return (chunks, st[1]) + best
+            if slim and group_rows:
+                # Sub-packet gating (r5): the whole-packet chunk gate runs
+                # the 32-tri loop over ALL rows when ANY of the 4096 rays
+                # needs the chunk — the measured r5 census puts the
+                # tri-loop share of a divergent wave at ~70% with a ~50%
+                # gate pass rate, i.e. most of that vector work serves a
+                # minority of rows.  Here both the gate and the loop run
+                # per ``group_rows``-row group: vector breadth follows the
+                # rows that actually hit the chunk, at the cost of
+                # re-reading the triangle scalars per live group.
+                G = shape[0] // group_rows
+
+                def sub_body(s, st):
+                    chunks, best = st[0], st[2:]
+                    c = s * 8
+                    smn = Vec3(scratch[BRICK_DATA_ROWS, c],
+                               scratch[BRICK_DATA_ROWS, c + 1],
+                               scratch[BRICK_DATA_ROWS, c + 2])
+                    smx = Vec3(scratch[BRICK_DATA_ROWS, c + 3],
+                               scratch[BRICK_DATA_ROWS, c + 4],
+                               scratch[BRICK_DATA_ROWS, c + 5])
+                    valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
+                    hitm = _slab_mask(smn, smx, best[0]) & valid
+                    bt, bslot = best
+                    if _DEBUG_SKIP != "tri":
+                        bts, bss = [], []
+                        for g in range(G):
+                            r0 = g * group_rows
+                            gsl = slice(r0, r0 + group_rows)
+                            go = Vec3(org.x[gsl], org.y[gsl], org.z[gsl])
+                            gd = Vec3(dirn.x[gsl], dirn.y[gsl],
+                                      dirn.z[gsl])
+                            gtn = tnear[gsl]
+
+                            def gtri(k, b, go=go, gd=gd, gtn=gtn):
+                                return _tri_slot_body(
+                                    lambda kk, j: _brick_svec(scratch, kk, j),
+                                    k, brick_id, b, go, gd, gtn)
+
+                            gb = lax.cond(
+                                jnp.any(hitm[gsl]),
+                                lambda b, gtri=gtri: lax.fori_loop(
+                                    s * SUB_PRIMS, (s + 1) * SUB_PRIMS,
+                                    gtri, b),
+                                lambda b: b, (bt[gsl], bslot[gsl]))
+                            bts.append(gb[0])
+                            bss.append(gb[1])
+                        # Mosaic has no dynamic_update_slice on values;
+                        # aligned static slices + one concat lower fine
+                        bt = jnp.concatenate(bts, axis=0)
+                        bslot = jnp.concatenate(bss, axis=0)
+                    chunks = chunks + jnp.where(jnp.any(hitm), 1,
+                                                0).astype(jnp.int32)
+                    return (chunks, st[1], bt, bslot)
+            else:
+                def sub_body(s, st):
+                    chunks, best = st[0], st[2:]
+                    c = s * 8
+                    smn = Vec3(scratch[BRICK_DATA_ROWS, c],
+                               scratch[BRICK_DATA_ROWS, c + 1],
+                               scratch[BRICK_DATA_ROWS, c + 2])
+                    smx = Vec3(scratch[BRICK_DATA_ROWS, c + 3],
+                               scratch[BRICK_DATA_ROWS, c + 4],
+                               scratch[BRICK_DATA_ROWS, c + 5])
+                    valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
+                    anyhit = _slab_any(smn, smx, best[0]) & valid
+                    if _DEBUG_SKIP != "tri":
+                        best = lax.cond(
+                            anyhit,
+                            lambda b: lax.fori_loop(s * SUB_PRIMS,
+                                                    (s + 1) * SUB_PRIMS,
+                                                    tri_body, b),
+                            lambda b: b, best)
+                    chunks = chunks + jnp.where(anyhit, 1,
+                                                0).astype(jnp.int32)
+                    return (chunks, st[1]) + best
 
             return lax.fori_loop(0, NUM_SUBS, sub_body, st)
 

@@ -66,7 +66,7 @@ from .vec import Vec3, cross, dot, max_elem, normalize, where
 # catches up — 32 rows (4096 rays) measured best in the r3 sweep under
 # mort_oct AND re-confirmed in r4 under sig_mort (0.82 vs 0.79 Msamples/s
 # full-frame at 16 rows).
-WAVE_ROWS = 32
+WAVE_ROWS = int(__import__("os").environ.get("PT_WAVE_ROWS", "32"))
 # primary-wave screen tile: must cover exactly WAVE_ROWS*128 pixels
 TILE = (64, WAVE_ROWS * 128 // 64)
 INF = float("inf")
@@ -113,7 +113,7 @@ def _make_trace_kernel(S: int, collect_stats: bool = False):
     return kernel
 
 
-def _make_trace_kernel_slim(S: int):
+def _make_trace_kernel_slim(S: int, group_rows: int = 0):
     """Slim one-bounce kernel: (best_t, best_slot) out, 2 channels instead
     of 16.  The inner tri loop runs _tri_slot_body (~30 vector ops/tri vs
     ~80), spheres and winner attributes move to the XLA epilogue
@@ -126,7 +126,8 @@ def _make_trace_kernel_slim(S: int):
                scratch, stack_ref, sem):
         intersect = make_brick_intersect(sph_ref, boxes_ref, links_ref,
                                          bricks_ref, scratch, stack_ref,
-                                         sem, S, slim=True)
+                                         sem, S, slim=True,
+                                         group_rows=group_rows)
         org = Vec3(ox[:], oy[:], oz[:])
         dirn = Vec3(dx[:], dy[:], dz[:])
         shape = org.x.shape
@@ -195,7 +196,7 @@ def _trace_wave_slim2(top_boxes, top_links, brick_data, tnear_scalar,
 
 def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
                      tnear_scalar, ox, oy, oz, dx, dy, dz, act, S: int,
-                     interpret: bool = False):
+                     interpret: bool = False, group_rows: int = 0):
     """Slim trace over all packets of a wave -> (t [rows,128] f32,
     slot [rows,128] i32; -1 = no triangle hit).  Spheres NOT included —
     the caller folds them in (_record_from_slots / _sphere_tmin)."""
@@ -215,7 +216,7 @@ def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
     out_shape = tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
                       for _ in range(2))
     t, slot = pl.pallas_call(
-        _make_trace_kernel_slim(S),
+        _make_trace_kernel_slim(S, group_rows),
         grid=(n_blocks,),
         in_specs=[smem(sph_rows.shape), smem(top_boxes.shape),
                   smem(top_links.shape), smem((1, 1))]
@@ -367,7 +368,8 @@ def _sort_key(org: Vec3, dirn: Vec3, active, lo, inv_extent):
     return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
 
 
-def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse):
+def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse,
+             octant: bool = False):
     """Target-signature sort key: the high K = SIG_BOXES bits say WHICH
     coarse scene regions (top-tree subtree boxes,
     models/bricks.py::_coarse_cut) the ray's forward line can touch; the
@@ -398,9 +400,9 @@ def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse):
         sig = sig | jnp.where(hit, jnp.int32(1 << k), 0)
 
     # Morton bits shrink as the signature widens so the key stays in i32:
-    # K sig bits + 3*mb Morton bits <= 30
+    # K sig bits (+3 octant bits) + 3*mb Morton bits <= 30
     K = int(coarse.shape[0])
-    mb = min(7, (30 - K) // 3)
+    mb = min(7, (30 - K - (3 if octant else 0)) // 3)
     top = float(2 ** mb - 1)
 
     def q(c, l, s):
@@ -412,6 +414,16 @@ def _sig_key(org: Vec3, dirn: Vec3, active, lo, inv_extent, coarse):
     mz = _spread3(q(org.z, lo[2], inv_extent[2]))
     morton = (mx << 2) | (my << 1) | mz
     key = (sig << (3 * mb)) | morton
+    if octant:
+        # direction octant between signature and Morton: same-signature
+        # rays additionally agree on travel direction, so the walk's
+        # mean-direction near-first ordering is meaningful again and
+        # best-t tightens early (r5 census: divergent packets run 4-6x
+        # the chunk loops of coherent ones)
+        oc = ((dirn.x > 0).astype(jnp.int32) * 4
+              + (dirn.y > 0).astype(jnp.int32) * 2
+              + (dirn.z > 0).astype(jnp.int32))
+        key = (sig << (3 * mb + 3)) | (oc << (3 * mb)) | morton
     return jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
 
 
@@ -524,7 +536,8 @@ def _wave_layout(width: int, height: int):
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
                                    "max_depth", "S", "interpret",
-                                   "rr_start_depth", "sort_mode", "trace"))
+                                   "rr_start_depth", "sort_mode", "trace",
+                                   "compact_tail"))
 def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       bg, scene_lo, scene_inv, pix_slots, sample_start,
                       width: int, height: int, num_samples: int, seed: int,
@@ -532,7 +545,8 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       rr_start_depth: int = RR_START_DEPTH,
                       sort_mode: str = "mort_oct", num_real=None,
                       light_rows=None, brick_lo=None, brick_hi=None,
-                      trace: str = "pairs", coarse_rows=None):
+                      trace: str = "pairs", coarse_rows=None,
+                      compact_tail: int = 8):
     R = width * height
     n_slots = pix_slots.shape[0]
     bg3 = Vec3(bg[0], bg[1], bg[2])
@@ -586,10 +600,15 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                 top_boxes, top_links, brick_data, tnear,
                 org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
                 interpret=interpret)
+        # "slimg[N]": slim walk with N-row sub-packet chunk gating
+        # (default 8 when N omitted) — see brickkernel group_rows
+        gr = 0
+        if trace.startswith("slimg"):
+            gr = int(trace[5:]) if len(trace) > 5 else 8
         return _trace_wave_slim(
             sph_rows, top_boxes, top_links, brick_data, tnear,
             org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f, S,
-            interpret=interpret)
+            interpret=interpret, group_rows=gr)
 
     def trace_shade(org, dirn, T, L, active, state, depth, tnear):
         act_f = jnp.where(active, 1.0, 0.0)
@@ -610,42 +629,120 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
     org, dirn, T, L, active, state = trace_shade(
         org, dirn, T, L, active, state, jnp.int32(0), 0.0)
 
-    # waves 1..max_depth-1: sort -> trace -> shade
-    def cond(st):
-        return jnp.any(st[0]) & (st[1] < max_depth)
-
-    def body(st):
+    def sort_state(st, shp):
+        """One fused live-to-front coherence sort of the 15-column ray SoA
+        (key = sig_mort / mort_oct; dead rays sink to the tail)."""
         (active, depth, ox, oy, oz, dx, dy, dz, Tx, Ty, Tz,
          Lx, Ly, Lz, pixc, state) = st
         org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
-        if sort_mode != "none":
-            if sort_mode == "sig_mort":
-                key = _sig_key(org, dirn, active, scene_lo, scene_inv,
-                               coarse_rows)
-            else:
-                key = _sort_key(org, dirn, active, scene_lo, scene_inv)
-            flat = lambda a: a.reshape(-1)
-            cols = lax.sort(
-                (flat(key), flat(ox), flat(oy), flat(oz), flat(dx),
-                 flat(dy), flat(dz), flat(Tx), flat(Ty), flat(Tz),
-                 flat(Lx), flat(Ly), flat(Lz), flat(pixc), flat(state),
-                 flat(jnp.where(active, 1.0, 0.0))),
-                num_keys=1)
-            (ox, oy, oz, dx, dy, dz, Tx, Ty, Tz, Lx, Ly, Lz, pixc,
-             state, act_f) = (c.reshape(shape) for c in cols[1:])
+        if sort_mode == "sig_mort":
+            key = _sig_key(org, dirn, active, scene_lo, scene_inv,
+                           coarse_rows)
+        elif sort_mode == "sig_oct":
+            key = _sig_key(org, dirn, active, scene_lo, scene_inv,
+                           coarse_rows, octant=True)
+        else:
+            key = _sort_key(org, dirn, active, scene_lo, scene_inv)
+        flat = lambda a: a.reshape(-1)
+        cols = lax.sort(
+            (flat(key), flat(ox), flat(oy), flat(oz), flat(dx),
+             flat(dy), flat(dz), flat(Tx), flat(Ty), flat(Tz),
+             flat(Lx), flat(Ly), flat(Lz), flat(pixc), flat(state),
+             flat(jnp.where(active, 1.0, 0.0))),
+            num_keys=1)
+        (ox, oy, oz, dx, dy, dz, Tx, Ty, Tz, Lx, Ly, Lz, pixc,
+         state, act_f) = (c.reshape(shp) for c in cols[1:])
+        return (act_f > 0.0, depth, ox, oy, oz, dx, dy, dz,
+                Tx, Ty, Tz, Lx, Ly, Lz, pixc, state)
+
+    def make_bounce(shp):
+        """cond/body of the bounce loop for a [shp] ray buffer."""
+        def cond(st):
+            return jnp.any(st[0]) & (st[1] < max_depth)
+
+        def body(st):
+            if sort_mode != "none":
+                st = sort_state(st, shp)
+            (active, depth, ox, oy, oz, dx, dy, dz, Tx, Ty, Tz,
+             Lx, Ly, Lz, pixc, state) = st
             org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
-            active = act_f > 0.0
-        T, L = Vec3(Tx, Ty, Tz), Vec3(Lx, Ly, Lz)
-        org, dirn, T, L, active, state = trace_shade(
-            org, dirn, T, L, active, state, depth, SECONDARY_TNEAR)
-        return (active, depth + 1, org.x, org.y, org.z,
-                dirn.x, dirn.y, dirn.z, T.x, T.y, T.z, L.x, L.y, L.z,
-                pixc, state)
+            T, L = Vec3(Tx, Ty, Tz), Vec3(Lx, Ly, Lz)
+            org, dirn, T, L, active, state = trace_shade(
+                org, dirn, T, L, active, state, depth, SECONDARY_TNEAR)
+            return (active, depth + 1, org.x, org.y, org.z,
+                    dirn.x, dirn.y, dirn.z, T.x, T.y, T.z, L.x, L.y, L.z,
+                    pixc, state)
+
+        return cond, body
 
     st = (active, jnp.int32(1), org.x, org.y, org.z, dirn.x, dirn.y,
           dirn.z, T.x, T.y, T.z, L.x, L.y, L.z, pix2, state)
-    st = lax.while_loop(cond, body, st)
-    Lx, Ly, Lz, pixc = st[11], st[12], st[13], st[14]
+    cond_f, body_f = make_bounce(shape)
+
+    if not compact_tail:
+        st = lax.while_loop(cond_f, body_f, st)
+        Lx, Ly, Lz, pixc = st[11], st[12], st[13], st[14]
+    else:
+        # Compaction ladder (r5): the full-size loop pays dense shade +
+        # sort + a mostly-dead trace grid at EVERY depth even when <1% of
+        # rays survive (probe_r5: shade ~21 ms and sort ~5 ms per wave,
+        # dead packets 50 us each, out to depth ~10+).  Instead: run wave
+        # 1 full-size, then sort live rays to the front ONCE and bounce
+        # the survivors in chunks of rows/compact_tail rows — each chunk
+        # runs its own bounce loop to extinction at 1/compact_tail of the
+        # dense cost.  The chunk count adapts to the real live count (an
+        # all-alive scene simply processes every chunk), so this is a
+        # pure restructuring: every ray still bounces to the same depth
+        # with the same RNG stream, and the final segment_sum is over the
+        # same (L, pixel) pairs.
+        st = lax.cond(cond_f(st), body_f, lambda s: s, st)       # wave 1
+        st = sort_state(st, shape) if sort_mode != "none" else st
+        (active, depth2, ox, oy, oz, dx, dy, dz, Tx, Ty, Tz,
+         Lx, Ly, Lz, pixc, state) = st
+        act_f = jnp.where(active, 1.0, 0.0)
+        live = jnp.sum(act_f.astype(jnp.int32))
+
+        K = max(rows // compact_tail, WAVE_ROWS)
+        K = -(-K // WAVE_ROWS) * WAVE_ROWS
+        n_chunks = -(-rows // K)
+        rows_pad = n_chunks * K
+        pad = rows_pad - rows
+
+        def padded(a, fill=0.0):
+            if pad == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((pad, LANES), fill, a.dtype)], axis=0)
+
+        cols_full = [padded(c) for c in
+                     (ox, oy, oz, dx, dy, dz, Tx, Ty, Tz, state, act_f)]
+        # padding rays: dead, sentinel pixel R (masked out of segment_sum)
+        L_full = [padded(c) for c in (Lx, Ly, Lz)]
+        pix_full = padded(pixc, R)
+
+        cnd_c, bdy_c = make_bounce((K, LANES))
+
+        def chunk_cond(carry):
+            c = carry[0]
+            return (c < n_chunks) & (c * K * LANES < live)
+
+        def chunk_body(carry):
+            c, Lx_f, Ly_f, Lz_f, pix_f = carry
+            r0 = c * K
+            sl = lambda a: lax.dynamic_slice(a, (r0, 0), (K, LANES))
+            (oxc, oyc, ozc, dxc, dyc, dzc, Txc, Tyc, Tzc, stc,
+             afc) = (sl(a) for a in cols_full)
+            stc2 = (afc > 0.0, depth2, oxc, oyc, ozc, dxc, dyc, dzc,
+                    Txc, Tyc, Tzc, sl(Lx_f), sl(Ly_f), sl(Lz_f),
+                    sl(pix_f), stc)
+            out = lax.while_loop(cnd_c, bdy_c, stc2)
+            upd = lambda f, v: lax.dynamic_update_slice(f, v, (r0, 0))
+            return (c + 1, upd(Lx_f, out[11]), upd(Ly_f, out[12]),
+                    upd(Lz_f, out[13]), upd(pix_f, out[14]))
+
+        _, Lx, Ly, Lz, pixc = lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), L_full[0], L_full[1], L_full[2], pix_full))
 
     img = jnp.stack([
         jax.ops.segment_sum(c.reshape(-1), pixc.reshape(-1),
@@ -666,7 +763,8 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
                              interpret: bool = False,
                              rr_start_depth: int = RR_START_DEPTH,
                              sort_mode: str = "sig_mort",
-                             nee: bool = False, trace: str = "slim"):
+                             nee: bool = False, trace: str = "slim",
+                             compact_tail: int = 8):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
     wave render in chunks (shapes stay static per chunk size).
@@ -709,7 +807,8 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
             sort_mode=sort_mode, light_rows=light_rows,
             brick_lo=jnp.asarray(brickset.brick_lo),
             brick_hi=jnp.asarray(brickset.brick_hi), trace=trace,
-            coarse_rows=jnp.asarray(brickset.coarse_boxes))
+            coarse_rows=jnp.asarray(brickset.coarse_boxes),
+            compact_tail=compact_tail)
         acc = out if acc is None else acc + out
         done += ns
     return acc

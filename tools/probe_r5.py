@@ -92,9 +92,44 @@ def main():
 
     # tnear rides as a traced scalar (the kernel reads it from SMEM), so
     # primary and secondary waves share ONE Mosaic compile
-    trace = jax.jit(lambda tn, ox, oy, oz, dx, dy, dz, act: _trace_wave_slim(
-        bs.sph_rows, bs.top_boxes, bs.top_links, bs.brick_data, tn,
-        ox, oy, oz, dx, dy, dz, act, S))
+    trace = jax.jit(
+        lambda tn, ox, oy, oz, dx, dy, dz, act: _trace_wave_slim(
+            bs.sph_rows, bs.top_boxes, bs.top_links, bs.brick_data, tn,
+            ox, oy, oz, dx, dy, dz, act, S))
+
+    # R5_STATS=1: additionally run the 17-channel kernel per wave —
+    # attributes selected IN-KERNEL (no XLA gather) + per-packet
+    # (nodes, bricks, chunks) counters.  Measures the walk-cost census
+    # AND what the record-recovery-in-kernel variant would cost.
+    STATS = os.environ.get("R5_STATS", "0") == "1"
+    if STATS:
+        from pathtracer_cuda_interactive_tpu.ops.wavefront import _trace_wave
+
+        def _stats_impl(tn, ox, oy, oz, dx, dy, dz, act):
+            outs = _trace_wave(bs.sph_rows, bs.top_boxes, bs.top_links,
+                               bs.brick_data, tn, ox, oy, oz, dx, dy, dz,
+                               act, S, collect_stats=True)
+            return outs[0], outs[16]   # t, stats channel
+        trace_stats = jax.jit(_stats_impl)
+
+        def report_stats(tag, tnear, org, dirn, act_f):
+            t, sv = trace_stats(tnear, org.x, org.y, org.z,
+                                dirn.x, dirn.y, dirn.z, act_f)
+            sync(t)
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                t, sv = trace_stats(tnear, org.x, org.y, org.z,
+                                    dirn.x, dirn.y, dirn.z, act_f)
+            sync(t)
+            dt = (time.perf_counter() - t0) / REPS * 1e3
+            s = np.asarray(sv).reshape(n_packets, WAVE_ROWS, 128)
+            nodes, bricks, chunks = s[:, 0, 0], s[:, 1, 0], s[:, 2, 0]
+            print(f"  [{tag}] 16ch trace={dt:7.2f} ms  per-pkt nodes "
+                  f"{nodes.mean():6.1f}/{nodes.max():5.0f}  bricks "
+                  f"{bricks.mean():5.1f}/{bricks.max():4.0f}  chunks "
+                  f"{chunks.mean():6.1f}/{chunks.max():5.0f}  totals "
+                  f"n={nodes.sum():.0f} b={bricks.sum():.0f} "
+                  f"c={chunks.sum():.0f}", flush=True)
 
     @jax.jit
     def shade(t, slot, org, dirn, T, L, active, state, depth, tnear):
@@ -243,7 +278,9 @@ def main():
               f" live_pkts={int(lp):4d}/{n_packets}"
               f" trace={tr_ms:7.2f} ms sort={sort_ms:6.2f} ms"
               f" shade={sh_ms:6.2f} ms", flush=True)
-        if depth in (1, 2):
+        if STATS and depth <= 4:
+            report_stats(f"wave{depth}", tnear, org, dirn, act_f)
+        if depth in (1, 2) and not STATS:
             pair_census(org, dirn, active, t, f"wave{depth}")
         total_trace += tr_ms
         total_sort += sort_ms
