@@ -50,7 +50,7 @@ STACK_DEPTH = 192
 # key's high bits; the Morton bits shrink to fit i32 — 16 boxes leave
 # 4 bits/axis of origin locality, measured better than 8 boxes' 7/axis
 # on bunny secondary waves)
-SIG_BOXES = 16
+SIG_BOXES = int(__import__("os").environ.get("PT_SIG_BOXES", "16"))
 # resident top-tree SMEM budget: boxes pack 16 nodes/row (512 B/row) and
 # links 64 nodes/row -> 40 B/node; keep the tables under ~0.75 MB of the
 # 1 MB SMEM alongside the 70 KB brick scratch + sphere table

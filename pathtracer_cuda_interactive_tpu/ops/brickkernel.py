@@ -61,6 +61,12 @@ INF = float("inf")
 import os as _os
 import sys as _sys
 _DEBUG_SKIP = _os.environ.get("PT_DEBUG_SKIP", "")
+# Unroll of the 32-tri inner loops.  Mosaic supports only 1 or full
+# (SUB_PRIMS); full unroll removes per-iteration loop bookkeeping and
+# lets the scalar record reads run ahead of the vector math — measured
+# bunny full-frame 0.973 -> 1.295 Msamples/s (r5).  Env-overridable for
+# attribution runs.
+_TRI_UNROLL = int(_os.environ.get("PT_TRI_UNROLL", "32"))
 if _DEBUG_SKIP:
     print(f"WARNING: PT_DEBUG_SKIP={_DEBUG_SKIP!r} is set — brick-tracer "
           "kernels will skip work and RENDER WRONG IMAGES.  This switch "
@@ -287,11 +293,15 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                     valid = scratch[BRICK_DATA_ROWS, c + 6] > 0.0
                     anyhit = _slab_any(smn, smx, best[0]) & valid
                     if _DEBUG_SKIP != "tri":
+                        # static 0..SUB_PRIMS bounds (the chunk base rides
+                        # in the body) so the loop can be unrolled
                         best = lax.cond(
                             anyhit,
-                            lambda b: lax.fori_loop(s * SUB_PRIMS,
-                                                    (s + 1) * SUB_PRIMS,
-                                                    tri_body, b),
+                            lambda b: lax.fori_loop(
+                                0, SUB_PRIMS,
+                                lambda k, bb: tri_body(s * SUB_PRIMS + k,
+                                                       bb),
+                                b, unroll=_TRI_UNROLL),
                             lambda b: b, best)
                     chunks = chunks + jnp.where(anyhit, 1,
                                                 0).astype(jnp.int32)
@@ -451,9 +461,10 @@ def make_brick_intersect_pipelined(boxes_ref, links_ref, bricks_ref,
                 anyhit = _slab_any(smn, smx, b[0]) & valid
                 return lax.cond(
                     anyhit,
-                    lambda bb: lax.fori_loop(s * SUB_PRIMS,
-                                             (s + 1) * SUB_PRIMS,
-                                             tri_body, bb),
+                    lambda bb: lax.fori_loop(
+                        0, SUB_PRIMS,
+                        lambda k, b2: tri_body(s * SUB_PRIMS + k, b2),
+                        bb, unroll=_TRI_UNROLL),
                     lambda bb: bb, b)
 
             pltpu.make_async_copy(bricks_ref.at[jnp.maximum(pend, 0)],

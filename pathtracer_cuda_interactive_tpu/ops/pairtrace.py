@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.bricks import (BRICK_DATA_ROWS, BRICK_PRIMS, BRICK_ROWS,
                              NUM_SUBS, SUB_PRIMS)
+from .brickkernel import _TRI_UNROLL
 from .integrator import LANES
 from .megakernel import _tri_test
 from .vec import Vec3
@@ -230,9 +231,10 @@ def _make_pair_kernel(tnear: float):
                     return (best[0] + jnp.where(anyhit, 0.0, 0.0), best[1])
                 return lax.cond(
                     anyhit,
-                    lambda b: lax.fori_loop(s * SUB_PRIMS,
-                                            (s + 1) * SUB_PRIMS,
-                                            tri_body, b),
+                    lambda b: lax.fori_loop(
+                        0, SUB_PRIMS,
+                        lambda k, bb: tri_body(s * SUB_PRIMS + k, bb),
+                        b, unroll=_TRI_UNROLL),
                     lambda b: b, best)
 
             best = lax.fori_loop(0, NUM_SUBS, sub_body,

@@ -196,12 +196,17 @@ def _trace_wave_slim2(top_boxes, top_links, brick_data, tnear_scalar,
 
 def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
                      tnear_scalar, ox, oy, oz, dx, dy, dz, act, S: int,
-                     interpret: bool = False, group_rows: int = 0):
+                     interpret: bool = False, group_rows: int = 0,
+                     packet_rows: int = 0):
     """Slim trace over all packets of a wave -> (t [rows,128] f32,
     slot [rows,128] i32; -1 = no triangle hit).  Spheres NOT included —
-    the caller folds them in (_record_from_slots / _sphere_tmin)."""
+    the caller folds them in (_record_from_slots / _sphere_tmin).
+    ``packet_rows`` overrides the rays-per-walk granularity (default
+    WAVE_ROWS) — the compacted tail uses smaller packets whose unions
+    stay bounded on divergence-heavy late waves."""
     rows = ox.shape[0]
-    n_blocks = rows // WAVE_ROWS
+    pr = packet_rows or WAVE_ROWS
+    n_blocks = rows // pr
     # the winning slot rides an f32 channel through the kernel: exact only
     # below 2^24 (ADVICE r3) — larger scenes must take the pair tracer,
     # whose slots ride i32 (ops/pairtrace.py)
@@ -211,7 +216,7 @@ def _trace_wave_slim(sph_rows, top_boxes, top_links, brick_data,
     tn = jnp.full((1, 1), tnear_scalar, jnp.float32)
     smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((WAVE_ROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((pr, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
                       for _ in range(2))
@@ -537,7 +542,7 @@ def _wave_layout(width: int, height: int):
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
                                    "max_depth", "S", "interpret",
                                    "rr_start_depth", "sort_mode", "trace",
-                                   "compact_tail"))
+                                   "compact_tail", "tail_trace"))
 def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       bg, scene_lo, scene_inv, pix_slots, sample_start,
                       width: int, height: int, num_samples: int, seed: int,
@@ -546,7 +551,7 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
                       sort_mode: str = "mort_oct", num_real=None,
                       light_rows=None, brick_lo=None, brick_hi=None,
                       trace: str = "pairs", coarse_rows=None,
-                      compact_tail: int = 8):
+                      compact_tail: int = 8, tail_trace: str = ""):
     R = width * height
     n_slots = pix_slots.shape[0]
     bg3 = Vec3(bg[0], bg[1], bg[2])
@@ -583,42 +588,45 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
     # bounce loop by XLA
     tri_rows = brick_data[:, :BRICK_DATA_ROWS, :].reshape(-1, 32)
 
-    def trace_tri(tnear, org, dirn, act_f):
+    def trace_tri(tnear, org, dirn, act_f, engine):
         """(t, slot) closest triangle hit for one wave, by the selected
         tracer: 'pairs[N]' = XLA visit lists + flat Pallas pair grid
-        (ops/pairtrace.py, N = rows per packet), 'slim' = scalar-walk
-        brick kernel."""
-        if trace.startswith("pairs"):
-            pr = int(trace[5:]) if len(trace) > 5 else None
+        (ops/pairtrace.py, N = rows per packet), 'slim[N]' = scalar-walk
+        brick kernel (N-row packets, default WAVE_ROWS), 'slimg[N]' =
+        slim with N-row sub-packet chunk gating, 'slim2' = DMA-pipelined
+        walk."""
+        if engine.startswith("pairs"):
+            pr = int(engine[5:]) if len(engine) > 5 else None
             return trace_wave_pairs(
                 brick_data, brick_lo, brick_hi, tnear,
                 org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
                 interpret=interpret,
                 **({} if pr is None else {"packet_rows": pr}))
-        if trace == "slim2":
+        if engine == "slim2":
             return _trace_wave_slim2(
                 top_boxes, top_links, brick_data, tnear,
                 org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f,
                 interpret=interpret)
-        # "slimg[N]": slim walk with N-row sub-packet chunk gating
-        # (default 8 when N omitted) — see brickkernel group_rows
-        gr = 0
-        if trace.startswith("slimg"):
-            gr = int(trace[5:]) if len(trace) > 5 else 8
+        gr = pr = 0
+        if engine.startswith("slimg"):
+            gr = int(engine[5:]) if len(engine) > 5 else 8
+        elif engine.startswith("slim") and len(engine) > 4:
+            pr = int(engine[4:])
         return _trace_wave_slim(
             sph_rows, top_boxes, top_links, brick_data, tnear,
             org.x, org.y, org.z, dirn.x, dirn.y, dirn.z, act_f, S,
-            interpret=interpret, group_rows=gr)
+            interpret=interpret, group_rows=gr, packet_rows=pr)
 
-    def trace_shade(org, dirn, T, L, active, state, depth, tnear):
+    def trace_shade(org, dirn, T, L, active, state, depth, tnear,
+                    engine):
         act_f = jnp.where(active, 1.0, 0.0)
-        t, slot = trace_tri(tnear, org, dirn, act_f)
+        t, slot = trace_tri(tnear, org, dirn, act_f, engine)
         rec = _record_from_slots(tri_rows, sph_rows, S, t, slot, org,
                                  dirn, tnear, active)
         if light_rows is not None:
             def shadow_t(sorg, sdir, mask):
                 st_, _ = trace_tri(SECONDARY_TNEAR, sorg, sdir,
-                                   jnp.where(mask, 1.0, 0.0))
+                                   jnp.where(mask, 1.0, 0.0), engine)
                 return _sphere_tmin(sph_rows, S, sorg, sdir,
                                     SECONDARY_TNEAR, st_)
             L = L + _nee_term(rec, dirn, T, active, light_rows, shadow_t)
@@ -627,7 +635,7 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
 
     # wave 0: tile-coherent camera rays, no sort
     org, dirn, T, L, active, state = trace_shade(
-        org, dirn, T, L, active, state, jnp.int32(0), 0.0)
+        org, dirn, T, L, active, state, jnp.int32(0), 0.0, trace)
 
     def sort_state(st, shp):
         """One fused live-to-front coherence sort of the 15-column ray SoA
@@ -655,7 +663,7 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
         return (act_f > 0.0, depth, ox, oy, oz, dx, dy, dz,
                 Tx, Ty, Tz, Lx, Ly, Lz, pixc, state)
 
-    def make_bounce(shp):
+    def make_bounce(shp, engine):
         """cond/body of the bounce loop for a [shp] ray buffer."""
         def cond(st):
             return jnp.any(st[0]) & (st[1] < max_depth)
@@ -668,7 +676,8 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
             org, dirn = Vec3(ox, oy, oz), Vec3(dx, dy, dz)
             T, L = Vec3(Tx, Ty, Tz), Vec3(Lx, Ly, Lz)
             org, dirn, T, L, active, state = trace_shade(
-                org, dirn, T, L, active, state, depth, SECONDARY_TNEAR)
+                org, dirn, T, L, active, state, depth, SECONDARY_TNEAR,
+                engine)
             return (active, depth + 1, org.x, org.y, org.z,
                     dirn.x, dirn.y, dirn.z, T.x, T.y, T.z, L.x, L.y, L.z,
                     pixc, state)
@@ -677,7 +686,7 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
 
     st = (active, jnp.int32(1), org.x, org.y, org.z, dirn.x, dirn.y,
           dirn.z, T.x, T.y, T.z, L.x, L.y, L.z, pix2, state)
-    cond_f, body_f = make_bounce(shape)
+    cond_f, body_f = make_bounce(shape, trace)
 
     if not compact_tail:
         st = lax.while_loop(cond_f, body_f, st)
@@ -720,7 +729,7 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
         L_full = [padded(c) for c in (Lx, Ly, Lz)]
         pix_full = padded(pixc, R)
 
-        cnd_c, bdy_c = make_bounce((K, LANES))
+        cnd_c, bdy_c = make_bounce((K, LANES), tail_trace or trace)
 
         def chunk_cond(carry):
             c = carry[0]
@@ -764,7 +773,7 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
                              rr_start_depth: int = RR_START_DEPTH,
                              sort_mode: str = "sig_mort",
                              nee: bool = False, trace: str = "slim",
-                             compact_tail: int = 8):
+                             compact_tail: int = 8, tail_trace: str = ""):
     """Large-scene drop-in for ops.integrator.render_samples: the radiance
     SUM of ``num_samples`` passes, [H,W,3].  Sample batches too big for one
     wave render in chunks (shapes stay static per chunk size).
@@ -808,7 +817,7 @@ def render_samples_wavefront(brickset: BrickSet, cam_data, width: int,
             brick_lo=jnp.asarray(brickset.brick_lo),
             brick_hi=jnp.asarray(brickset.brick_hi), trace=trace,
             coarse_rows=jnp.asarray(brickset.coarse_boxes),
-            compact_tail=compact_tail)
+            compact_tail=compact_tail, tail_trace=tail_trace)
         acc = out if acc is None else acc + out
         done += ns
     return acc

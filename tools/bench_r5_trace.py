@@ -43,13 +43,15 @@ def main():
         parts = spec.split(":")
         tr = parts[0]
         sort_mode = parts[1] if len(parts) > 1 and parts[1] else "sig_mort"
-        ct = int(parts[2][2:]) if len(parts) > 2 else 0
+        ct = int(parts[2][2:]) if len(parts) > 2 and parts[2] else 0
+        tail = parts[3] if len(parts) > 3 else ""
         t0 = time.perf_counter()
         fn = lambda s0: render_samples_wavefront(bs, cd, W, H,
                                                  jnp.uint32(s0), SPF,
                                                  trace=tr,
                                                  sort_mode=sort_mode,
-                                                 compact_tail=ct)
+                                                 compact_tail=ct,
+                                                 tail_trace=tail)
         first = float(np.asarray(fn(0)).mean())
         assert np.isfinite(first) and first > 0, (tr, first)
         compile_s = time.perf_counter() - t0
