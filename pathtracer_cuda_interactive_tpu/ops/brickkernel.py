@@ -61,12 +61,22 @@ INF = float("inf")
 import os as _os
 import sys as _sys
 _DEBUG_SKIP = _os.environ.get("PT_DEBUG_SKIP", "")
-# Unroll of the 32-tri inner loops.  Mosaic supports only 1 or full
-# (SUB_PRIMS); full unroll removes per-iteration loop bookkeeping and
-# lets the scalar record reads run ahead of the vector math — measured
-# bunny full-frame 0.973 -> 1.295 Msamples/s (r5).  Env-overridable for
-# attribution runs.
-_TRI_UNROLL = int(_os.environ.get("PT_TRI_UNROLL", "32"))
+# Unroll of the 32-tri inner loops and the 16-chunk gate loop around
+# them (Mosaic supports only 1 or the full trip count).  Full unroll
+# removes per-iteration loop bookkeeping and lets the scalar record
+# reads run ahead of the vector math — measured bunny full-frame
+# 0.973 -> 1.295 Msamples/s (tri) -> 1.498 (tri+chunk at 16-row
+# packets), r5.  Only meaningful under Mosaic: the CPU interpret path
+# (tests) keeps rolled loops, where 512 inlined triangle bodies would
+# just multiply trace time.  Env-overridable for attribution runs.
+def _default_unroll(var: str, full: str) -> int:
+    import jax
+    dflt = full if jax.default_backend() == "tpu" else "1"
+    return int(_os.environ.get(var, dflt))
+
+
+_TRI_UNROLL = _default_unroll("PT_TRI_UNROLL", "32")
+_SUB_UNROLL = _default_unroll("PT_SUB_UNROLL", "16")
 if _DEBUG_SKIP:
     print(f"WARNING: PT_DEBUG_SKIP={_DEBUG_SKIP!r} is set — brick-tracer "
           "kernels will skip work and RENDER WRONG IMAGES.  This switch "
@@ -307,7 +317,8 @@ def make_brick_intersect(sph_ref, boxes_ref, links_ref, bricks_ref,
                                                 0).astype(jnp.int32)
                     return (chunks, st[1]) + best
 
-            return lax.fori_loop(0, NUM_SUBS, sub_body, st)
+            return lax.fori_loop(0, NUM_SUBS, sub_body, st,
+                                 unroll=_SUB_UNROLL)
 
         # Near-child-first DEPTH-ORDERED walk with a scalar SMEM stack
         # (the reference orders children by hit distance too,

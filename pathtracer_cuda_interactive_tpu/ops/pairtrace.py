@@ -299,7 +299,9 @@ def trace_wave_pairs(brick_data, brick_lo, brick_hi, tnear: float,
     no triangle hit, slot [rows,128] i32 with -1 = no triangle hit).
     Spheres are NOT included — the caller's epilogue folds them in."""
     rows = ox.shape[0]
-    assert rows % packet_rows == 0, rows
+    # small waves (tests, tail chunks) clamp the packet to the wave
+    packet_rows = min(packet_rows, rows)
+    assert rows % packet_rows == 0, (rows, packet_rows)
     P = rows // packet_rows
     B = int(brick_data.shape[0])
     rp = lambda a: a.reshape(P, packet_rows * LANES)

@@ -60,13 +60,12 @@ from .megakernel import tile_grid
 from .vec import Vec3, cross, dot, max_elem, normalize, where
 
 # Rays per packet row-block: [WAVE_ROWS, 128] rays share one tree walk.
-# Swept {8, 16, 32, 64} rows on v5e bunny waves (tools/ microbench, r3):
-# the walk's SCALAR cost (node steps, per-chunk any() reduces, serialized
-# brick DMA) dominates, so FEWER, larger packets win until the union cost
-# catches up — 32 rows (4096 rays) measured best in the r3 sweep under
-# mort_oct AND re-confirmed in r4 under sig_mort (0.82 vs 0.79 Msamples/s
-# full-frame at 16 rows).
-WAVE_ROWS = int(__import__("os").environ.get("PT_WAVE_ROWS", "32"))
+# Re-swept every time the kernel cost balance moves: r3/r4 (rolled tri
+# loops, scalar-walk-bound) measured 32 rows best; r5's fully-unrolled
+# tri+chunk loops shift the balance to union cost and 16 rows wins
+# (bunny 1.50 vs 1.30 at 32, 1.14 at 8 — PERFLOG r5).  PT_WAVE_ROWS
+# overrides for sweeps.
+WAVE_ROWS = int(__import__("os").environ.get("PT_WAVE_ROWS", "16"))
 # primary-wave screen tile: must cover exactly WAVE_ROWS*128 pixels
 TILE = (64, WAVE_ROWS * 128 // 64)
 INF = float("inf")
@@ -687,6 +686,12 @@ def _render_wavefront(sph_rows, top_boxes, top_links, brick_data, cam_data,
     st = (active, jnp.int32(1), org.x, org.y, org.z, dirn.x, dirn.y,
           dirn.z, T.x, T.y, T.z, L.x, L.y, L.z, pix2, state)
     cond_f, body_f = make_bounce(shape, trace)
+
+    # the ladder's chunk cutoff (c*K*LANES < live) assumes live rays are
+    # a sorted prefix; without a sort it would skip live rays in later
+    # chunks, so "none" keeps the plain full-size loop
+    if sort_mode == "none":
+        compact_tail = 0
 
     if not compact_tail:
         st = lax.while_loop(cond_f, body_f, st)

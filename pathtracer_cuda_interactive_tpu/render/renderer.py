@@ -79,12 +79,14 @@ def _render_mode(pack, width: int, height: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "num_samples", "seed",
                                    "max_depth", "mode", "nee",
-                                   "rr_start_depth", "trace"),
+                                   "rr_start_depth", "trace",
+                                   "compact_tail", "tail_trace"),
          donate_argnames=("accum",))
 def _accumulate_step(scene, cam_data, accum, sample_start,
                      width: int, height: int, num_samples: int, seed: int,
                      max_depth: int, mode: str, nee: bool = False,
-                     rr_start_depth: int = 5, trace: str = "slim"):
+                     rr_start_depth: int = 5, trace: str = "slim",
+                     compact_tail: int = 8, tail_trace: str = ""):
     if mode == "megakernel":
         new = render_samples_pallas(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -103,7 +105,9 @@ def _accumulate_step(scene, cam_data, accum, sample_start,
                                        sample_start, num_samples, seed,
                                        max_depth,
                                        rr_start_depth=rr_start_depth,
-                                       nee=nee, trace=trace)
+                                       nee=nee, trace=trace,
+                                       compact_tail=compact_tail,
+                                       tail_trace=tail_trace)
     elif mode == "bricks":
         new = render_samples_bricks(scene, cam_data, width, height,
                                     sample_start, num_samples, seed,
@@ -217,7 +221,10 @@ class ProgressiveRenderer:
                 jnp.uint32(self.sample_count), self.width, self.height,
                 ns, self.config.seed, self.config.max_depth, self.mode,
                 self.config.enable_nee, self.config.rr_start_depth,
-                self.config.wavefront_trace, tag=f"step_{self.mode}")
+                self.config.wavefront_trace,
+                self.config.wavefront_compact_tail,
+                self.config.wavefront_tail_trace,
+                tag=f"step_{self.mode}")
             self._exe_cache[ns] = exe
         # statics (width..trace) are baked into the executable; the call
         # takes only the traced pytree

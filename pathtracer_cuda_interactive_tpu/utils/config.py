@@ -44,12 +44,17 @@ class RenderConfig:
     # reachable here by explicit opt-in only.
     large_scene_mode: str = "wavefront"
     # per-wave closest-hit engine of the wavefront path: "slim" (the
-    # scalar-walk brick kernel — the measured winner on TPU under the
-    # sig_mort sort, 0.82 vs 0.51 Msamples/s on bunny, PERFLOG.md r4),
-    # "slim2" (same walk with a two-slot DMA pipeline, ~+2%), or
-    # "pairs[N]" (XLA visit lists + flat Pallas pair grid,
-    # ops/pairtrace.py)
+    # scalar-walk brick kernel — the measured winner on TPU every round,
+    # PERFLOG.md r4/r5), "slim[N]" (same walk at N-row packets),
+    # "slimg[N]" (N-row sub-packet chunk gating — measured slower on
+    # bunny, r5), "slim2" (two-slot DMA pipeline), or "pairs[N]" (XLA
+    # visit lists + flat Pallas pair grid, ops/pairtrace.py)
     wavefront_trace: str = "slim"
+    # rows/N chunk size of the post-wave-1 compaction ladder
+    # (ops/wavefront.py, PERFLOG r5: +19% on bunny); 0 disables
+    wavefront_compact_tail: int = 8
+    # tail bounce-loop engine override ("" = same as wavefront_trace)
+    wavefront_tail_trace: str = ""
 
 
 _CONFIGURED = False
