@@ -224,7 +224,12 @@ class ProgressiveRenderer:
                 self.config.wavefront_trace,
                 self.config.wavefront_compact_tail,
                 self.config.wavefront_tail_trace,
-                tag=f"step_{self.mode}")
+                # kernel-only statics (e.g. slim vs slimg gating) can
+                # leave the OUTER module identical, so they must ride
+                # the cache key via the tag
+                tag=f"step_{self.mode}_{self.config.wavefront_trace}"
+                    f"_{self.config.wavefront_compact_tail}"
+                    f"_{self.config.wavefront_tail_trace or 'same'}")
             self._exe_cache[ns] = exe
         # statics (width..trace) are baked into the executable; the call
         # takes only the traced pytree
