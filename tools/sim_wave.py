@@ -11,6 +11,7 @@ Cost model per packet: nodes*0.15 + bricks*0.5 + chunks*t_chunk (µs).
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling sim_union
 import numpy as np
 from sim_union import build, walk_packet, cost, W, H, PKT, SCENE
 
